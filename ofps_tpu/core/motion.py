@@ -1,0 +1,215 @@
+"""Motion-field data layer.
+
+Behavioral spec: ``/root/reference/ofps/src/motion_field.rs`` and the sparse
+``MotionVectors`` type from ``/root/reference/ofps/src/decoder.rs:40-42``.
+
+TPU-first design: the variable-length ``Vec<(pos, motion)>`` of the reference
+becomes a fixed-capacity ``SparseFlow`` (padded arrays + validity mask) so that
+every consumer is a fixed-shape jittable function, and the dense
+``MotionField`` becomes an ``(H, W, 2)`` array.  Densification (scatter-mean)
+is a segment-sum; hole-filling is a convergent parallel relaxation with the
+same 6-neighborhood and distance weights as the reference's priority-queue
+algorithm (``motion_field.rs:193-294``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+F32_EPS = float(jnp.finfo(jnp.float32).eps)
+
+# 6-neighborhood used by the reference hole-filling (motion_field.rs:208):
+# (dx, dy) offsets.
+_INTERP_NEIGHBORS = ((-1, 0), (0, -1), (-1, -1), (1, 0), (0, 1), (1, 1))
+
+
+class SparseFlow(NamedTuple):
+    """Fixed-capacity sparse motion-vector field.
+
+    ``pos``/``motion``: (N, 2) float32 in [0,1]-normalized screen units;
+    ``mask``: (N,) float32 validity (1.0 = real entry, 0.0 = padding).
+    Equivalent of the reference's ``MotionVectors`` list.
+    """
+
+    pos: jnp.ndarray
+    motion: jnp.ndarray
+    mask: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.pos.shape[-2]
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.mask, axis=-1)
+
+    @classmethod
+    def from_arrays(cls, pos, motion, capacity: int | None = None) -> "SparseFlow":
+        """Build from host arrays, padding/truncating to ``capacity``."""
+        import numpy as np
+
+        pos = np.asarray(pos, dtype=np.float32).reshape(-1, 2)
+        motion = np.asarray(motion, dtype=np.float32).reshape(-1, 2)
+        n = pos.shape[0]
+        cap = capacity or max(n, 1)
+        if n > cap:
+            pos, motion, n = pos[:cap], motion[:cap], cap
+        out_pos = np.zeros((cap, 2), dtype=np.float32)
+        out_mot = np.zeros((cap, 2), dtype=np.float32)
+        out_mask = np.zeros((cap,), dtype=np.float32)
+        out_pos[:n] = pos
+        out_mot[:n] = motion
+        out_mask[:n] = 1.0
+        return cls(jnp.asarray(out_pos), jnp.asarray(out_mot), jnp.asarray(out_mask))
+
+
+def _round_half_up(x: jnp.ndarray) -> jnp.ndarray:
+    """Rust ``f32::round`` rounds half away from zero; inputs here are >= 0."""
+    return jnp.floor(x + 0.5)
+
+
+def flow_cell_index(pos: jnp.ndarray, width: int, height: int):
+    """Grid cell for a [0,1]^2 position (motion_field.rs:164-178 semantics)."""
+    p = jnp.clip(pos, 0.0, 1.0)
+    x = _round_half_up(p[..., 0] * (width - 1)).astype(jnp.int32)
+    y = _round_half_up(p[..., 1] * (height - 1)).astype(jnp.int32)
+    return x, y
+
+
+class Densifier(NamedTuple):
+    """Accumulator equivalent of ``MotionFieldDensifier``.
+
+    ``sums``: (H, W, 2) weighted motion sums; ``counts``: (H, W) weight sums,
+    initialized at f32 epsilon like the reference (motion_field.rs:136).
+    """
+
+    sums: jnp.ndarray
+    counts: jnp.ndarray
+
+    @classmethod
+    def zeros(cls, width: int, height: int) -> "Densifier":
+        return cls(
+            jnp.zeros((height, width, 2), dtype=jnp.float32),
+            jnp.full((height, width), F32_EPS, dtype=jnp.float32),
+        )
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        h, w = self.counts.shape[-2:]
+        return w, h
+
+    def add_flow(self, flow: SparseFlow, weight: jnp.ndarray | float = 1.0) -> "Densifier":
+        """Scatter-add a sparse flow into the accumulator (vectorized)."""
+        h, w = self.counts.shape[-2:]
+        x, y = flow_cell_index(flow.pos, w, h)
+        idx = y * w + x
+        wgt = flow.mask * weight
+        counts = self.counts.reshape(-1).at[idx].add(wgt).reshape(h, w)
+        sums = (
+            self.sums.reshape(-1, 2)
+            .at[idx].add(flow.motion * wgt[..., None])
+            .reshape(h, w, 2)
+        )
+        return Densifier(sums, counts)
+
+    def finalize(self) -> jnp.ndarray:
+        """Weighted mean per cell: the dense (H, W, 2) motion field."""
+        return self.sums / self.counts[..., None]
+
+    def interpolate_empty_cells(self) -> "Densifier":
+        """Fill empty cells from filled neighbors until convergence.
+
+        Parallel reformulation of the reference's priority-queue interpolation
+        (motion_field.rs:193-294): each round, every still-empty cell that has
+        at least one filled 6-neighbor receives the distance-weighted average
+        of its filled neighbors' mean values.  The reference fills cells one at
+        a time in most-neighbors-first order; this Jacobi-style sweep converges
+        to the same fill class (weights 0.5 cardinal, 1-sqrt(2)/2 diagonal) and
+        is TPU-parallel.
+        """
+        h, w = self.counts.shape[-2:]
+
+        def round_step(state):
+            sums, counts, _ = state
+            filled = counts > 0.1
+            mean = sums / counts[..., None]
+            add_sum = jnp.zeros_like(sums)
+            add_cnt = jnp.zeros_like(counts)
+            for dx, dy in _INTERP_NEIGHBORS:
+                scale = 1.0 - math.sqrt(dx * dx + dy * dy) * 0.5
+                nb_filled = _shift2d(filled.astype(sums.dtype), dx, dy)
+                nb_mean = _shift2d(mean, dx, dy)
+                add_sum = add_sum + scale * nb_mean * nb_filled[..., None]
+                add_cnt = add_cnt + scale * nb_filled
+            gets_fill = (~filled) & (add_cnt > 0.0)
+            new_sums = jnp.where(gets_fill[..., None], sums + add_sum, sums)
+            new_counts = jnp.where(gets_fill, counts + add_cnt, counts)
+            return new_sums, new_counts, jnp.any(gets_fill)
+
+        def cond(state):
+            _, counts, progressed = state
+            return jnp.logical_and(progressed, jnp.any(counts <= 0.1))
+
+        sums, counts, _ = jax.lax.while_loop(
+            cond, lambda s: round_step(s), (self.sums, self.counts, jnp.array(True))
+        )
+        return Densifier(sums, counts)
+
+
+def _shift2d(a: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
+    """Shift so that out[y, x] = a[y + dy, x + dx], zero-padded at borders."""
+    pad_y = (max(dy, 0), max(-dy, 0))
+    pad_x = (max(dx, 0), max(-dx, 0))
+    pads = ((pad_y, pad_x) + ((0, 0),) * (a.ndim - 2))
+    padded = jnp.pad(a, pads)
+    h, w = a.shape[0], a.shape[1]
+    return padded[pad_y[1] : pad_y[1] + h, pad_x[1] : pad_x[1] + w]
+
+
+def densify(flow: SparseFlow, width: int, height: int) -> jnp.ndarray:
+    """Sparse flow -> dense (H, W, 2) field by scatter-mean."""
+    return Densifier.zeros(width, height).add_flow(flow).finalize()
+
+
+def field_to_sparse(field: jnp.ndarray) -> SparseFlow:
+    """Dense (H, W, 2) field -> sparse entries at pos (x/W, y/H).
+
+    Matches ``MotionField::motion_iter`` (motion_field.rs:106-114), which is
+    what detectors receive when fed a dense field.
+    """
+    h, w = field.shape[-3:-1]
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    pos = jnp.stack([xs / w, ys / h], axis=-1).astype(jnp.float32).reshape(-1, 2)
+    motion = field.reshape(-1, 2)
+    mask = jnp.ones((h * w,), dtype=jnp.float32)
+    return SparseFlow(pos, motion, mask)
+
+
+def gaussian_blur(field: jnp.ndarray, ksize: int, sigma: float = 0.0) -> jnp.ndarray:
+    """Separable Gaussian blur over an (H, W, C) field.
+
+    Matches OpenCV defaults: ``sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8`` when
+    sigma is unset (used by flow-extract/src/main.rs:69-127 with 11x11).
+    """
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    r = ksize // 2
+    xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    k = jnp.exp(-(xs**2) / (2.0 * sigma**2))
+    k = k / jnp.sum(k)
+    # Reflect-101 padding like OpenCV's default border.
+    def conv1d(a, axis):
+        pads = [(0, 0)] * a.ndim
+        pads[axis] = (r, r)
+        ap = jnp.pad(a, pads, mode="reflect")
+        out = jnp.zeros_like(a)
+        for i in range(ksize):
+            sl = [slice(None)] * a.ndim
+            sl[axis] = slice(i, i + a.shape[axis])
+            out = out + k[i] * ap[tuple(sl)]
+        return out
+
+    return conv1d(conv1d(field, 0), 1)

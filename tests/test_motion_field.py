@@ -1,0 +1,101 @@
+"""Motion field densifier and hole-filling tests.
+
+Behavioral parity targets: /root/reference/ofps/src/motion_field.rs.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ofps_tpu.core.motion import (
+    Densifier,
+    SparseFlow,
+    densify,
+    field_to_sparse,
+    flow_cell_index,
+    gaussian_blur,
+)
+
+
+def test_cell_index_rounding():
+    # motion_field.rs:170-175: x = round(pos.x * (w-1)).
+    w, h = 5, 5
+    x, y = flow_cell_index(jnp.array([[0.0, 0.0], [1.0, 1.0], [0.5, 0.5], [0.62, 0.13]]), w, h)
+    assert list(np.asarray(x)) == [0, 4, 2, 2]
+    assert list(np.asarray(y)) == [0, 4, 2, 1]
+    # Clamping out-of-range positions.
+    x, y = flow_cell_index(jnp.array([[-0.5, 2.0]]), w, h)
+    assert (int(x[0]), int(y[0])) == (0, 4)
+
+
+def test_densify_scatter_mean():
+    flow = SparseFlow.from_arrays(
+        pos=[[0.0, 0.0], [0.0, 0.0], [1.0, 1.0]],
+        motion=[[1.0, 0.0], [3.0, 0.0], [0.5, -0.5]],
+    )
+    field = np.asarray(densify(flow, 3, 3))
+    assert np.allclose(field[0, 0], [2.0, 0.0], atol=1e-5)  # mean of two entries
+    assert np.allclose(field[2, 2], [0.5, -0.5], atol=1e-5)
+    assert np.allclose(field[1, 1], [0.0, 0.0])  # empty -> 0 (sum/eps trick)
+
+
+def test_densify_respects_mask():
+    flow = SparseFlow(
+        pos=jnp.array([[0.0, 0.0], [0.0, 0.0]]),
+        motion=jnp.array([[1.0, 0.0], [100.0, 0.0]]),
+        mask=jnp.array([1.0, 0.0]),
+    )
+    field = np.asarray(densify(flow, 2, 2))
+    assert np.allclose(field[0, 0], [1.0, 0.0], atol=1e-5)
+
+
+def test_interpolate_fills_all_cells():
+    flow = SparseFlow.from_arrays(pos=[[0.0, 0.0]], motion=[[1.0, 2.0]])
+    d = Densifier.zeros(4, 4).add_flow(flow)
+    filled = d.interpolate_empty_cells()
+    counts = np.asarray(filled.counts)
+    assert (counts > 0.1).all()
+    field = np.asarray(filled.finalize())
+    # Single source: every cell converges to the same value.
+    assert np.allclose(field, np.broadcast_to([1.0, 2.0], field.shape), atol=1e-4)
+
+
+def test_interpolate_no_vectors_is_noop():
+    d = Densifier.zeros(4, 4)
+    out = d.interpolate_empty_cells()
+    assert np.allclose(np.asarray(out.finalize()), 0.0)
+
+
+def test_interpolate_weighted_average():
+    # Two sources with different values: interior cells must be within range.
+    flow = SparseFlow.from_arrays(
+        pos=[[0.0, 0.0], [1.0, 1.0]], motion=[[0.0, 0.0], [10.0, 10.0]]
+    )
+    d = Densifier.zeros(5, 5).add_flow(flow).interpolate_empty_cells()
+    field = np.asarray(d.finalize())
+    assert (field >= -1e-4).all() and (field <= 10.0 + 1e-4).all()
+    # Middle cell should be strictly between the sources.
+    assert 0.5 < field[2, 2, 0] < 9.5
+
+
+def test_field_to_sparse_positions():
+    field = jnp.zeros((2, 3, 2)).at[1, 2].set(jnp.array([5.0, 6.0]))
+    sp = field_to_sparse(field)
+    pos = np.asarray(sp.pos).reshape(2, 3, 2)
+    assert np.allclose(pos[0, 0], [0.0, 0.0])
+    assert np.allclose(pos[1, 2], [2 / 3, 1 / 2])
+    mot = np.asarray(sp.motion).reshape(2, 3, 2)
+    assert np.allclose(mot[1, 2], [5.0, 6.0])
+
+
+def test_gaussian_blur_preserves_constant():
+    field = jnp.full((8, 8, 2), 3.0)
+    out = np.asarray(gaussian_blur(field, 11))
+    assert np.allclose(out, 3.0, atol=1e-5)
+
+
+def test_gaussian_blur_smooths():
+    field = jnp.zeros((9, 9, 1)).at[4, 4, 0].set(1.0)
+    out = np.asarray(gaussian_blur(field, 5))
+    assert out[4, 4, 0] < 1.0
+    assert out[3, 4, 0] > 0.0
+    assert abs(out.sum() - 1.0) < 1e-4  # energy preserved away from borders
