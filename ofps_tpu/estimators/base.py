@@ -1,0 +1,82 @@
+"""Estimator protocol, registry, and pose integration.
+
+Behavioral spec: ``/root/reference/ofps/src/estimator.rs`` (the ``Estimator``
+trait) and the plugin registry semantics of
+``/root/reference/ofps/src/plugins/mod.rs`` (``create_estimator(name, arg)``).
+
+TPU-first design: estimators are *pure functions* over fixed-shape arrays.
+Each estimator module registers a factory under the same name the reference
+plugin exports ("almeida", "homography", "multiview", "libmv"), returning an
+:class:`EstimatorInstance` that carries
+
+* ``params``   — static configuration (Properties parity),
+* ``init()``   — initial carried state pytree (stateless estimators: ``()``),
+* ``estimate(state, flow, camera, key) -> (quat, t, state)`` — jittable.
+
+State is threaded explicitly (scan-style) instead of ``&mut self``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Tuple
+
+import jax.numpy as jnp
+
+from ofps_tpu.core import quat
+from ofps_tpu.core.motion import SparseFlow
+
+_REGISTRY: Dict[str, Callable[..., "EstimatorInstance"]] = {}
+
+
+@dataclasses.dataclass
+class EstimatorInstance:
+    """A configured estimator: pure functions + static params."""
+
+    name: str
+    params: Any
+    init: Callable[[], Any]
+    # (state, flow, camera, key) -> (rotation quat, translation vec3, state)
+    estimate: Callable[..., Tuple[jnp.ndarray, jnp.ndarray, Any]]
+
+    def motion_step(self, state, flow: SparseFlow, camera, key, rot, pos):
+        """Estimate and integrate into (rot, pos) — estimator.rs:38-53.
+
+        ``pos += rot * tr; rot = r * rot``; returns (rot, pos, state).
+        """
+        r, tr, state = self.estimate(state, flow, camera, key)
+        pos = pos + quat.rotate_vec(rot, tr)
+        rot = quat.mul(r, rot)
+        return rot, pos, state
+
+
+def register(name: str):
+    def deco(factory):
+        _REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+def create_estimator(name: str, **kwargs) -> EstimatorInstance:
+    """Registry lookup matching ``PluginStore::create_estimator`` semantics."""
+    _load_builtin_estimators()
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown estimator {name!r}; have {sorted(_REGISTRY)}")
+    return _REGISTRY[name](**kwargs)
+
+
+def _load_builtin_estimators():
+    """Import builtin estimator modules so their factories register."""
+    import importlib
+
+    for mod in ("almeida", "homography", "multiview", "libmv"):
+        try:
+            importlib.import_module(f"ofps_tpu.estimators.{mod}")
+        except ImportError:
+            pass
+
+
+def available_estimators():
+    _load_builtin_estimators()
+    return sorted(_REGISTRY)
