@@ -1,0 +1,65 @@
+"""Detector protocol and registry.
+
+Behavioral spec: ``/root/reference/ofps/src/detection.rs`` (the ``Detector``
+trait: ``detect_motion(&[MotionEntry]) -> Option<(usize, MotionField)>``) and
+the plugin registry naming of ``plugins/mod.rs``.
+
+The jittable detector returns fixed-shape ``DetectionResult`` (an Option is
+not a TPU type); ``detected`` carries the Some/None distinction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple
+
+import jax.numpy as jnp
+
+_REGISTRY: Dict[str, Callable[..., "DetectorInstance"]] = {}
+
+
+class DetectionResult(NamedTuple):
+    """Fixed-shape equivalent of ``Option<(area, MotionField)>``."""
+
+    detected: jnp.ndarray  # bool scalar
+    area: jnp.ndarray  # int32 scalar (number of blocks in the motion island)
+    field: jnp.ndarray  # (H, W, 2) motion field of the winning island
+    mask: jnp.ndarray  # (H, W) bool island membership
+
+
+@dataclasses.dataclass
+class DetectorInstance:
+    name: str
+    params: Any
+    # (flow: SparseFlow) -> DetectionResult
+    detect: Callable[..., DetectionResult]
+
+
+def register(name: str):
+    def deco(factory):
+        _REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+def create_detector(name: str, **kwargs) -> DetectorInstance:
+    _load_builtin_detectors()
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown detector {name!r}; have {sorted(_REGISTRY)}")
+    return _REGISTRY[name](**kwargs)
+
+
+def _load_builtin_detectors():
+    import importlib
+
+    for mod in ("block_motion",):
+        try:
+            importlib.import_module(f"ofps_tpu.detectors.{mod}")
+        except ImportError:
+            pass
+
+
+def available_detectors():
+    _load_builtin_detectors()
+    return sorted(_REGISTRY)
