@@ -1,0 +1,273 @@
+"""Fundamental-matrix camera motion estimator ("libmv" equivalent).
+
+Behavioral spec: ``/root/reference/libmv-estimator/src/lib.rs`` — robust 7- or
+8-point fundamental matrix (libmv's C++ solver surface,
+``libmv-rust/libmv-c.cpp:9-67``), essential via K^T F K, (R, t) from the
+essential matrix using a single correspondence's cheirality, and a
+**translation-scale chain**: flows are chained across three views through a
+spatial index of previous-frame endpoints, a second fundamental solve on the
+chained field gives the 1->3 translation direction, and
+``triangulate_scale`` (ofps/src/utils.rs:47-89) keeps a globally consistent
+translation magnitude.  The only estimator emitting nonzero translation.
+
+TPU-first redesign: the BTreeMap spatial index becomes a fixed-size raster
+grid (one entry per cell, 5x5-neighborhood nearest lookup under the same
++-0.05 box metric), so the whole stateful step — including the chain update —
+is one jittable fixed-shape function whose state threads through scan.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ofps_tpu.core import quat
+from ofps_tpu.core.camera import StandardCamera
+from ofps_tpu.core.motion import SparseFlow
+from ofps_tpu.estimators.base import EstimatorInstance, register
+from ofps_tpu.estimators.convention import remap_solver_rotation
+from ofps_tpu.ops.epipolar import (
+    eight_point_fundamental,
+    essential_from_fundamental,
+    motion_from_essential_and_correspondence,
+    sampson_error,
+    seven_point_fundamental,
+)
+from ofps_tpu.ops.robust import robust_fit
+from ofps_tpu.ops.solve import solve3x3
+
+GRID = 40  # spatial-index resolution; cell size 0.025 covers the 0.05 range
+_RANGE = 0.05  # reference nearest-entry search box (lib.rs:224)
+
+
+class LibmvParams(NamedTuple):
+    """Properties parity with lib.rs:118-132 (+ hypothesis batch size)."""
+
+    outlier_proba: float = 0.7
+    max_error: float = 0.0001
+    algo_points: int = 7
+    num_hypotheses: int = 512
+
+
+class PrevMotion(NamedTuple):
+    """Spatial index of the previous chained flow, keyed by endpoint cell."""
+
+    pos: jnp.ndarray  # (G, G, 2) start position of the stored entry
+    motion: jnp.ndarray  # (G, G, 2)
+    valid: jnp.ndarray  # (G, G) float 0/1
+    rot: jnp.ndarray  # (4,) accumulated rotation since the chain started
+    tr: jnp.ndarray  # (3,) scaled translation when the chain started
+    has: jnp.ndarray  # () float 0/1 — Option<PrevMotion> discriminant
+
+    @classmethod
+    def empty(cls) -> "PrevMotion":
+        return cls(
+            pos=jnp.zeros((GRID, GRID, 2), jnp.float32),
+            motion=jnp.zeros((GRID, GRID, 2), jnp.float32),
+            valid=jnp.zeros((GRID, GRID), jnp.float32),
+            rot=quat.identity(),
+            tr=jnp.zeros(3, jnp.float32),
+            has=jnp.zeros((), jnp.float32),
+        )
+
+
+def rasterize_prev(pos: jnp.ndarray, motion: jnp.ndarray, w: jnp.ndarray):
+    """Scatter entries into the endpoint-keyed grid (PrevMotion::set_mv)."""
+    ep = pos + motion
+    cx = jnp.clip((ep[..., 0] * GRID).astype(jnp.int32), 0, GRID - 1)
+    cy = jnp.clip((ep[..., 1] * GRID).astype(jnp.int32), 0, GRID - 1)
+    idx = cy * GRID + cx
+    # Invalid entries all collide on a dump cell; mask them out afterwards.
+    idx = jnp.where(w > 0.5, idx, 0)
+    gp = jnp.zeros((GRID * GRID, 2), jnp.float32).at[idx].set(pos, mode="drop")
+    gm = jnp.zeros((GRID * GRID, 2), jnp.float32).at[idx].set(motion, mode="drop")
+    gv = jnp.zeros((GRID * GRID,), jnp.float32).at[idx].max(w)
+    # Entries with weight 0 may have clobbered cell 0; rebuild it from any
+    # valid entry mapping there.
+    valid0 = jnp.any((idx == 0) & (w > 0.5))
+    first0 = jnp.argmax((idx == 0) & (w > 0.5))
+    gp = gp.at[0].set(jnp.where(valid0, pos[first0], 0.0))
+    gm = gm.at[0].set(jnp.where(valid0, motion[first0], 0.0))
+    gv = gv.at[0].set(jnp.where(valid0, 1.0, 0.0))
+    return gp.reshape(GRID, GRID, 2), gm.reshape(GRID, GRID, 2), gv.reshape(GRID, GRID)
+
+
+def find_nearest(prev: PrevMotion, query: jnp.ndarray, w: jnp.ndarray):
+    """Nearest stored entry (by endpoint, L1) within the +-0.05 box.
+
+    ``query``: (N, 2) current start positions. Returns (pos, motion, found).
+    Parity: PrevMotion::find_nearest_entry (lib.rs:85-107).
+    """
+    cx = jnp.clip((query[..., 0] * GRID).astype(jnp.int32), 0, GRID - 1)
+    cy = jnp.clip((query[..., 1] * GRID).astype(jnp.int32), 0, GRID - 1)
+
+    best_d = jnp.full(query.shape[:-1], 1e9, jnp.float32)
+    best_pos = jnp.zeros_like(query)
+    best_mot = jnp.zeros_like(query)
+    found = jnp.zeros(query.shape[:-1], bool)
+    pos_f = prev.pos.reshape(-1, 2)
+    mot_f = prev.motion.reshape(-1, 2)
+    val_f = prev.valid.reshape(-1)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            nx = jnp.clip(cx + dx, 0, GRID - 1)
+            ny = jnp.clip(cy + dy, 0, GRID - 1)
+            ci = ny * GRID + nx
+            p = pos_f[ci]
+            m = mot_f[ci]
+            v = val_f[ci] > 0.5
+            ep = p + m
+            d = jnp.abs(query - ep)
+            inbox = (d[..., 0] < _RANGE) & (d[..., 1] < _RANGE) & v
+            l1 = d[..., 0] + d[..., 1]
+            better = inbox & (l1 < best_d)
+            best_d = jnp.where(better, l1, best_d)
+            best_pos = jnp.where(better[..., None], p, best_pos)
+            best_mot = jnp.where(better[..., None], m, best_mot)
+            found = found | better
+    return best_pos, best_mot, found & (w > 0.5)
+
+
+def triangulate_scale(ab: jnp.ndarray, bc: jnp.ndarray, ac: jnp.ndarray):
+    """Scale factor for bc consistent with ab (ofps/src/utils.rs:47-89).
+
+    Solves [-bc, ac, bc x ac] x = ab; returns x[0], or 1.0 when the system is
+    singular (parallel lines).
+    """
+    cross = jnp.cross(bc, ac)
+    lhs = jnp.stack([-bc, ac, cross], axis=-1)
+    x = solve3x3(lhs, ab, fallback=jnp.nan)
+    return jnp.where(jnp.isnan(x[..., 0]), 1.0, x[..., 0])
+
+
+def _remap_vec(v: jnp.ndarray) -> jnp.ndarray:
+    """Translation solver->codebase axis remap: (x,y,z) -> (x, z, -y).
+
+    Differs in sign from the rotation-axis remap because translations are
+    polar vectors while rotation axes are pseudovectors under the improper
+    axis swap (calibrated on +X/+Y/+Z camera-translation fixtures).
+    """
+    return jnp.stack([v[..., 0], v[..., 2], -v[..., 1]], axis=-1)
+
+
+def _robust_fundamental(key, params: LibmvParams, x1, x2, w):
+    if params.algo_points == 7:
+        minimal, k = seven_point_fundamental, 7
+    else:
+        def minimal(a, b, ww):
+            return eight_point_fundamental(a, b, ww)[None], jnp.ones((1,), bool)
+
+        k = 8
+    return robust_fit(
+        key,
+        x1,
+        x2,
+        w,
+        minimal_fit=minimal,
+        sample_size=k,
+        error_fn=sampson_error,
+        num_hypotheses=params.num_hypotheses,
+        threshold=params.max_error,
+        use_lmeds=False,
+    )
+
+
+def _pose_from_field(key, params, camera, pos, motion, w):
+    """Fundamental -> essential -> (R, t, ok) on a (possibly chained) field."""
+    x1 = pos
+    x2 = pos + motion
+    res = _robust_fundamental(key, params, x1, x2, w)
+    k = camera.intrinsics()
+    e = essential_from_fundamental(res.model, k)
+    first = jnp.argmax(res.inliers)
+    r, t, sup = motion_from_essential_and_correspondence(e, k, x1[first], x2[first])
+    ok = (jnp.sum(res.inliers) >= 3.0) & (sup > 0)
+    return r, t, res, ok
+
+
+def estimate_libmv(key, params: LibmvParams, state: PrevMotion, flow: SparseFlow, camera):
+    k1, k2 = jax.random.split(key)
+    pos, motion, w = flow.pos, flow.motion, flow.mask
+
+    r_mat, t_raw, res, _ok = _pose_from_field(k1, params, camera, pos, motion, w)
+    q = remap_solver_rotation(quat.from_matrix3(r_mat))
+
+    tm = jnp.linalg.norm(t_raw)
+    has_t = tm > 1e-6
+    # Solver-frame -> codebase-frame translation: same component remap as the
+    # rotation axes ((x,y,z) -> (-x,-z,y)); calibrated so that a camera moving
+    # +X/+Y/+Z in the synthetic fixture yields t along +X/+Y/+Z.
+    t_world = _remap_vec(t_raw)
+    t_unit = jnp.where(has_t, t_world / jnp.maximum(tm, 1e-20), t_world)
+
+    # ---- translation-scale chain (lib.rs:211-279) ----
+    # Chain current MVs through the previous endpoint index.
+    ne_pos, ne_mot, found = find_nearest(state, pos, w)
+    ch_pos = ne_pos
+    ch_mot = ne_mot + motion
+    ch_w = found.astype(jnp.float32)
+
+    new_grid = rasterize_prev(ch_pos, ch_mot, ch_w)
+    chained_rot = quat.mul(q, state.rot)
+
+    # Secondary solve on the chained (view-1 -> view-3) field.
+    cp = new_grid[0].reshape(-1, 2)
+    cm = new_grid[1].reshape(-1, 2)
+    cw = new_grid[2].reshape(-1)
+    r13, t13_raw, _res13, _ok13 = _pose_from_field(k2, params, camera, cp, cm, cw)
+    t13 = _remap_vec(t13_raw)
+
+    t23 = quat.rotate_vec(chained_rot, t_unit)
+    scale = triangulate_scale(state.tr, t23, t13)
+
+    # State transitions mirroring the reference's Option dance:
+    had_prev = state.has > 0.5
+    use_chain = had_prev & has_t
+    sf = jnp.where(
+        had_prev,
+        jnp.where(has_t, scale, 0.0),
+        jnp.where(has_t, 1.0, 0.0),
+    )
+
+    # When a chain step completes (or starts), prev resets to the current
+    # field; when tm == 0 with an existing chain, the chained grid persists.
+    cur_grid = rasterize_prev(pos, motion, w)
+    reset_rot = q
+    reset_tr = t_unit * jnp.where(use_chain, scale, 1.0)
+
+    new_state = PrevMotion(
+        pos=jnp.where((use_chain | ~had_prev), cur_grid[0], new_grid[0]),
+        motion=jnp.where((use_chain | ~had_prev), cur_grid[1], new_grid[1]),
+        valid=jnp.where((use_chain | ~had_prev), cur_grid[2], new_grid[2]),
+        rot=jnp.where(use_chain | ~had_prev, reset_rot, chained_rot),
+        tr=jnp.where(use_chain | ~had_prev, reset_tr, state.tr),
+        has=jnp.maximum(state.has, has_t.astype(jnp.float32)),
+    )
+
+    return q, t_unit * sf, new_state
+
+
+@register("libmv")
+def make_libmv(**kwargs) -> EstimatorInstance:
+    params = LibmvParams(**kwargs)
+
+    def estimate(state: PrevMotion, flow: SparseFlow, camera: StandardCamera, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        rot, tr, new_state = estimate_libmv(key, params, state, flow, camera)
+        # Degenerate input guard (reference returns Err; we hold the pose).
+        ok = (jnp.sum(flow.mask) >= params.algo_points) & jnp.all(
+            jnp.isfinite(rot)
+        ) & jnp.all(jnp.isfinite(tr))
+        rot = jnp.where(ok, rot, quat.identity())
+        tr = jnp.where(ok, tr, jnp.zeros(3, jnp.float32))
+        new_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_state, state
+        )
+        return rot, tr, new_state
+
+    return EstimatorInstance(
+        name="libmv", params=params, init=PrevMotion.empty, estimate=estimate
+    )

@@ -1,0 +1,115 @@
+"""Essential-matrix camera rotation estimator ("multiview").
+
+Behavioral spec: ``/root/reference/multiview-estimator/src/lib.rs`` — robust
+essential matrix over the flow correspondences (OpenCV
+``find_essential_mat_matrix`` with RANSAC/LMedS), pose recovery by cheirality
+(``recover_pose_estimated``), axis remap, and the >90-degree wraparound fix
+(lib.rs:137-145).
+
+TPU-first: minimal fits are normalized 8-point solves projected onto the
+essential manifold, vmapped as a hypothesis batch; pose recovery triangulates
+all inliers in parallel for the cheirality vote.  (Nister's polynomial
+5-point solver is a planned upgrade; the 8-point-on-E minimal solver uses the
+same robust driver and scoring.)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ofps_tpu.core import quat
+from ofps_tpu.core.camera import StandardCamera
+from ofps_tpu.core.motion import SparseFlow
+from ofps_tpu.estimators.base import EstimatorInstance, register
+from ofps_tpu.estimators.convention import remap_solver_rotation
+from ofps_tpu.ops.epipolar import (
+    eight_point_fundamental,
+    homogeneous,
+    project_to_essential,
+    recover_pose_from_essential,
+    sampson_error,
+)
+from ofps_tpu.ops.robust import robust_fit
+
+
+class MultiviewParams(NamedTuple):
+    """Properties parity with lib.rs:23-37 (+ hypothesis batch size)."""
+
+    desired_confidence: float = 0.999
+    max_error: float = 0.0001
+    use_ransac: bool = True
+    num_hypotheses: int = 512
+
+
+def _normalized_coords(camera: StandardCamera, p: jnp.ndarray) -> jnp.ndarray:
+    kinv = jnp.linalg.inv(camera.intrinsics())
+    h = homogeneous(p) @ kinv.T
+    return h[..., :2] / h[..., 2:3]
+
+
+def estimate_essential_rotation(
+    key, params: MultiviewParams, flow: SparseFlow, camera: StandardCamera
+):
+    w = flow.mask
+    x1 = _normalized_coords(camera, flow.pos)
+    x2 = _normalized_coords(camera, flow.pos + flow.motion)
+
+    # OpenCV divides the pixel threshold by the focal length for normalized
+    # coordinates; our K is in [0,1]-screen units.
+    k = camera.intrinsics()
+    focal = (k[0, 0] + k[1, 1]) * 0.5
+    thr = params.max_error / focal
+
+    def minimal(x1s, x2s, ws):
+        f = eight_point_fundamental(x1s, x2s, ws)
+        e = project_to_essential(f)
+        return e[None], jnp.ones((1,), dtype=bool)
+
+    res = robust_fit(
+        key,
+        x1,
+        x2,
+        w,
+        minimal_fit=minimal,
+        sample_size=8,
+        error_fn=sampson_error,
+        num_hypotheses=params.num_hypotheses,
+        threshold=thr,
+        use_lmeds=not params.use_ransac,
+    )
+    # Refit on inliers, then recover pose with a parallel cheirality vote.
+    e = project_to_essential(eight_point_fundamental(x1, x2, res.inliers))
+    r, t, _ = recover_pose_from_essential(e, x1, x2, res.inliers)
+
+    # Axis remap to the codebase convention (lib.rs:130-134 intent).  Our
+    # recovered R uses the x2 ~ f(x1) convention shared with the homography
+    # path, so the same calibrated component swap applies (validated against
+    # the almeida-consistent synthetic fixture).
+    q = remap_solver_rotation(quat.from_matrix3(r))
+
+    # >90 deg wraparound fix (lib.rs:139-145).
+    axis, ang = quat.axis_angle(q)
+    new_ang = jnp.mod(ang + jnp.pi, 2.0 * jnp.pi)
+    q_fixed = quat.from_axis_angle(axis, new_ang)
+    q = jnp.where(ang > jnp.pi / 2.0, q_fixed, q)
+    return q
+
+
+@register("multiview")
+def make_multiview(**kwargs) -> EstimatorInstance:
+    params = MultiviewParams(**kwargs)
+
+    def estimate(state, flow: SparseFlow, camera: StandardCamera, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        rot = estimate_essential_rotation(key, params, flow, camera)
+        ok = jnp.sum(flow.mask) >= 8
+        rot = jnp.where(ok & jnp.all(jnp.isfinite(rot)), rot, quat.identity())
+        return rot, jnp.zeros(3, dtype=jnp.float32), state
+
+    return EstimatorInstance(
+        name="multiview", params=params, init=lambda: (), estimate=estimate
+    )
