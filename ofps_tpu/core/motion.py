@@ -161,12 +161,12 @@ class Densifier(NamedTuple):
 
 def _shift2d(a: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
     """Shift so that out[y, x] = a[y + dy, x + dx], zero-padded at borders."""
-    pad_y = (max(dy, 0), max(-dy, 0))
-    pad_x = (max(dx, 0), max(-dx, 0))
+    pad_y = (max(-dy, 0), max(dy, 0))
+    pad_x = (max(-dx, 0), max(dx, 0))
     pads = ((pad_y, pad_x) + ((0, 0),) * (a.ndim - 2))
     padded = jnp.pad(a, pads)
     h, w = a.shape[0], a.shape[1]
-    return padded[pad_y[1] : pad_y[1] + h, pad_x[1] : pad_x[1] + w]
+    return padded[max(dy, 0) : max(dy, 0) + h, max(dx, 0) : max(dx, 0) + w]
 
 
 def densify(flow: SparseFlow, width: int, height: int) -> jnp.ndarray:

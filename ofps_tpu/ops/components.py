@@ -18,11 +18,11 @@ _BIG = jnp.int32(2**30)
 
 def _shift_min(labels: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
     """Neighbor labels at offset (dx, dy), BIG outside the grid."""
-    pad_y = (max(dy, 0), max(-dy, 0))
-    pad_x = (max(dx, 0), max(-dx, 0))
+    pad_y = (max(-dy, 0), max(dy, 0))
+    pad_x = (max(-dx, 0), max(dx, 0))
     padded = jnp.pad(labels, (pad_y, pad_x), constant_values=_BIG)
     h, w = labels.shape
-    return padded[pad_y[1] : pad_y[1] + h, pad_x[1] : pad_x[1] + w]
+    return padded[max(dy, 0) : max(dy, 0) + h, max(dx, 0) : max(dx, 0) + w]
 
 
 def label_components(active: jnp.ndarray) -> jnp.ndarray:

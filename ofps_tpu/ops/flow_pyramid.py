@@ -1,0 +1,173 @@
+"""Dense optical flow: coarse-to-fine pyramid block matching.
+
+The on-device replacement for the reference cv-decoder's OpenCV
+Farneback/RLOF dense flow (``/root/reference/cv-decoder/src/lib.rs:156-237``)
+— the BASELINE.json north-star kernel ("coarse-to-fine per-pixel block
+matching over image pyramids").
+
+TPU-first design: at each pyramid level, a cost volume over all
+(2R+1)^2 integer displacement candidates is built from *statically shifted*
+images (pure VPU work, fuses into one XLA program), box-filtered for local
+aggregation, reduced by argmin, and refined to subpixel precision with a
+1-D parabola fit per axis.  Large motions come from the pyramid, not the
+search radius, so every level is gather-free except the single bilinear warp
+that applies the upsampled parent flow.
+
+Everything batches over leading dims and jits with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ofps_tpu.ops.image import (
+    box_filter,
+    build_pyramid,
+    shift2d,
+    upsample2_flow,
+    warp_bilinear,
+)
+
+_BIG = 1e10
+
+
+def _warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Backend-dispatching warp: Pallas kernel on TPU, XLA gather elsewhere.
+
+    Pads to the Pallas block grid (edge mode) and slices back.
+    """
+    bh, bw = 32, 128
+    h, w = img.shape[-2], img.shape[-1]
+    if jax.default_backend() != "tpu" or h + ((-h) % bh) < bh + 24:
+        return warp_bilinear(img, flow)
+    from ofps_tpu.pallas.warp import warp_bilinear_tpu
+
+    ph = (-h) % bh
+    pw = (-w) % bw
+    if ph or pw:
+        pad_img = [(0, 0)] * (img.ndim - 2) + [(0, ph), (0, pw)]
+        pad_flow = [(0, 0)] * (flow.ndim - 3) + [(0, ph), (0, pw), (0, 0)]
+        img = jnp.pad(img, pad_img, mode="edge")
+        flow = jnp.pad(flow, pad_flow, mode="edge")
+    out = warp_bilinear_tpu(img, flow, bh=bh, bw=bw)
+    return out[..., :h, :w]
+
+
+class FlowParams(NamedTuple):
+    levels: int = 5
+    search: int = 2  # per-level search radius -> (2R+1)^2 candidates
+    win: int = 5  # aggregation window (cv-decoder winsize, lib.rs:160)
+    coarse_search: int = 6  # wider search at the coarsest level (large motion)
+    min_level_size: int = 16  # clamp pyramid depth so levels stay meaningful
+
+
+def effective_levels(params: FlowParams, h: int, w: int) -> int:
+    levels = 1
+    size = min(h, w)
+    while levels < params.levels and size // 2 >= params.min_level_size:
+        size //= 2
+        levels += 1
+    return levels
+
+
+def _level_refine(i1, warped, search: int, win: int):
+    """Residual displacement for one level: cost volume + argmin + subpixel."""
+    shifts = [(dx, dy) for dy in range(-search, search + 1)
+              for dx in range(-search, search + 1)]
+    costs = []
+    h, w = i1.shape[-2], i1.shape[-1]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    for dx, dy in shifts:
+        diff = jnp.abs(i1 - shift2d(warped, dx, dy, fill=0.0))
+        c = box_filter(diff, win)
+        # Penalize out-of-image samples so borders prefer small shifts.
+        oob = (
+            (xs + dx < 0) | (xs + dx > w - 1) | (ys + dy < 0) | (ys + dy > h - 1)
+        )
+        costs.append(jnp.where(oob, _BIG, c))
+    cost = jnp.stack(costs, axis=-1)  # (..., H, W, S)
+
+    best = jnp.argmin(cost, axis=-1)  # (..., H, W)
+    side = 2 * search + 1
+    bx = (best % side) - search
+    by = (best // side) - search
+
+    # Subpixel parabola fit along each axis using neighbors in the volume.
+    # Selection is a one-hot weighted sum over the (small) candidate axis —
+    # TPU-friendly, unlike per-element gathers (take_along_axis lowers to a
+    # scalar-core gather that dominated the kernel).
+    def cost_at(ix, iy):
+        idx = (iy + search) * side + (ix + search)
+        sel = jax.nn.one_hot(idx, side * side, dtype=cost.dtype)
+        return jnp.sum(cost * sel, axis=-1)
+
+    c0 = cost_at(bx, by)
+    cxm = cost_at(jnp.maximum(bx - 1, -search), by)
+    cxp = cost_at(jnp.minimum(bx + 1, search), by)
+    cym = cost_at(bx, jnp.maximum(by - 1, -search))
+    cyp = cost_at(bx, jnp.minimum(by + 1, search))
+
+    def parabola(cm, cc, cp, at_edge):
+        denom = cm - 2.0 * cc + cp
+        off = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (cm - cp) / jnp.maximum(jnp.abs(denom), 1e-12) * jnp.sign(denom), 0.0)
+        off = jnp.clip(off, -0.5, 0.5)
+        return jnp.where(at_edge, 0.0, off)
+
+    sub_x = parabola(cxm, c0, cxp, jnp.abs(bx) == search)
+    sub_y = parabola(cym, c0, cyp, jnp.abs(by) == search)
+
+    return jnp.stack(
+        [bx.astype(jnp.float32) + sub_x, by.astype(jnp.float32) + sub_y], axis=-1
+    )
+
+
+def dense_flow(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    params: FlowParams = FlowParams(),
+    init_flow: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Dense flow i1 -> i2 in pixel units.
+
+    ``i1``/``i2``: (..., H, W) float32 grayscale.  Returns (..., H, W, 2).
+    ``init_flow`` enables the warm start the reference gets from
+    OPTFLOW_USE_INITIAL_FLOW (cv-decoder lib.rs:162-166).
+    """
+    levels = effective_levels(params, i1.shape[-2], i1.shape[-1])
+    pyr1 = build_pyramid(i1, levels)
+    pyr2 = build_pyramid(i2, levels)
+
+    flow = None
+    if init_flow is not None:
+        # Downsample the warm-start flow to the coarsest level.
+        h, w = pyr1[-1].shape[-2], pyr1[-1].shape[-1]
+        scale = h / i1.shape[-2]
+        flow = (
+            jax.image.resize(
+                init_flow, init_flow.shape[:-3] + (h, w, 2), method="bilinear"
+            )
+            * scale
+        )
+
+    for lvl in range(levels - 1, -1, -1):
+        a, b = pyr1[lvl], pyr2[lvl]
+        h, w = a.shape[-2], a.shape[-1]
+        search = params.coarse_search if lvl == levels - 1 else params.search
+        if flow is None:
+            flow = jnp.zeros(a.shape + (2,), jnp.float32)
+        elif flow.shape[-3] != h or flow.shape[-2] != w:
+            flow = upsample2_flow(flow, h, w)
+        warped = _warp(b, flow)
+        flow = flow + _level_refine(a, warped, search, params.win)
+
+    return flow
+
+
+def flow_to_normalized(flow: jnp.ndarray) -> jnp.ndarray:
+    """Pixel-unit flow -> [0,1]-normalized units (decoder.rs convention)."""
+    h, w = flow.shape[-3], flow.shape[-2]
+    return flow / jnp.asarray([w, h], dtype=flow.dtype)

@@ -1,0 +1,138 @@
+"""Image ops: pyramids, resize, box/Sobel filters, morphology, warping.
+
+TPU-native equivalents of the OpenCV imgproc calls used by the reference's
+cv-decoder (``/root/reference/cv-decoder/src/lib.rs:125-237``): resize,
+cvtColor(gray), Sobel, threshold, ellipse-dilate.  All functions take
+``(..., H, W)`` float32 arrays and broadcast over leading batch dims.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rgb_to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W, 3) uint8/float -> (..., H, W) float32 luma (BT.601)."""
+    rgb = rgb.astype(jnp.float32)
+    return (
+        0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    )
+
+
+def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average pooling (pyramid downsample). Truncates odd edges."""
+    h, w = x.shape[-2], x.shape[-1]
+    h2, w2 = h // 2, w // 2
+    x = x[..., : h2 * 2, : w2 * 2]
+    x = x.reshape(x.shape[:-2] + (h2, 2, w2, 2))
+    return jnp.mean(x, axis=(-3, -1))
+
+
+def build_pyramid(x: jnp.ndarray, levels: int):
+    """List of `levels` images, finest first."""
+    pyr = [x]
+    for _ in range(levels - 1):
+        pyr.append(avg_pool2(pyr[-1]))
+    return pyr
+
+
+def upsample2_flow(flow: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Upsample an (..., h, w, 2) flow field to (out_h, out_w), doubling values."""
+    up = jax.image.resize(
+        flow, flow.shape[:-3] + (out_h, out_w, 2), method="bilinear"
+    )
+    return up * 2.0
+
+
+def shift2d(x: jnp.ndarray, dx: int, dy: int, fill: float = 0.0) -> jnp.ndarray:
+    """out[..., y, x] = in[..., y + dy, x + dx] with constant fill."""
+    pad_y = (max(-dy, 0), max(dy, 0))
+    pad_x = (max(-dx, 0), max(dx, 0))
+    pads = [(0, 0)] * (x.ndim - 2) + [pad_y, pad_x]
+    padded = jnp.pad(x, pads, constant_values=fill)
+    h, w = x.shape[-2], x.shape[-1]
+    sy, sx = max(dy, 0), max(dx, 0)
+    return padded[..., sy : sy + h, sx : sx + w]
+
+
+def box_filter(x: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Separable (win x win) mean filter with zero padding at borders."""
+    r = win // 2
+    out = jnp.zeros_like(x)
+    for d in range(-r, r + 1):
+        out = out + shift2d(x, d, 0)
+    out2 = jnp.zeros_like(out)
+    for d in range(-r, r + 1):
+        out2 = out2 + shift2d(out, 0, d)
+    return out2 / float(win * win)
+
+
+def sobel_xy(x: jnp.ndarray) -> jnp.ndarray:
+    """OpenCV Sobel(dx=1, dy=1, ksize=5)-style mixed derivative.
+
+    cv-decoder uses a single Sobel call with dx=1, dy=1 (lib.rs:204-214): the
+    separable kernel d5 (x) d5 where d5 = [-1, -2, 0, 2, 1] x smooth... for
+    the contrast mask only the magnitude matters; we use the classic 5-tap
+    derivative [-1, -2, 0, 2, 1] in both axes.
+    """
+    d5 = jnp.array([-1.0, -2.0, 0.0, 2.0, 1.0])
+    out = jnp.zeros_like(x)
+    for i, k in enumerate(d5):
+        out = out + k * shift2d(x, i - 2, 0)
+    out2 = jnp.zeros_like(out)
+    for i, k in enumerate(d5):
+        out2 = out2 + k * shift2d(out, 0, i - 2)
+    return out2
+
+
+def dilate_disk(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Binary dilation with a disk structuring element (MORPH_ELLIPSE)."""
+    out = mask
+    acc = jnp.zeros_like(mask)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dx * dx + dy * dy <= radius * radius:
+                acc = jnp.maximum(acc, shift2d(mask, dx, dy))
+    return acc
+
+
+def warp_bilinear(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``img`` at (x + u, y + v): backward warp with border clamping.
+
+    ``img``: (..., H, W); ``flow``: (..., H, W, 2) in pixels.  Pure-XLA gather
+    implementation; the Pallas block-offset kernel replaces this on the hot
+    path.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = jnp.clip(xs + flow[..., 0], 0.0, w - 1.0)
+    sy = jnp.clip(ys + flow[..., 1], 0.0, h - 1.0)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+
+    flat = img.reshape(img.shape[:-2] + (h * w,))
+
+    def gather(yy, xx):
+        idx = yy * w + xx
+        return jnp.take_along_axis(
+            flat, idx.reshape(idx.shape[:-2] + (h * w,)), axis=-1
+        ).reshape(idx.shape)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )

@@ -1,0 +1,138 @@
+"""Dense flow pyramid tests (spec: cv-decoder Farneback path, BASELINE kernel)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow, effective_levels, flow_to_normalized
+from ofps_tpu.ops.image import (
+    avg_pool2,
+    box_filter,
+    build_pyramid,
+    dilate_disk,
+    rgb_to_gray,
+    shift2d,
+    sobel_xy,
+    warp_bilinear,
+)
+
+
+def _texture(h, w, seed=1, pad=0):
+    """Band-limited multi-scale texture (natural-image-like)."""
+    from scipy.ndimage import gaussian_filter, zoom
+
+    rng = np.random.default_rng(seed)
+    hp, wp = h + 2 * pad, w + 2 * pad
+    img = np.zeros((hp, wp), np.float32)
+    for octave in range(1, 6):
+        s = 2**octave
+        n = rng.standard_normal((hp // s + 2, wp // s + 2)).astype(np.float32)
+        img += zoom(n, (hp / n.shape[0], wp / n.shape[1]), order=3)[:hp, :wp] / octave
+    img = gaussian_filter(img, 1.0)
+    return (img - img.min()) / (img.max() - img.min())
+
+
+def test_shift2d_convention():
+    a = jnp.arange(12.0).reshape(3, 4)
+    out = np.asarray(shift2d(a, 1, 0))
+    assert np.allclose(out[:, :3], np.asarray(a)[:, 1:])
+    assert np.allclose(out[:, 3], 0.0)
+    out = np.asarray(shift2d(a, 0, -1))
+    assert np.allclose(out[1:], np.asarray(a)[:2])
+
+
+def test_warp_matches_shift():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (32, 40)).astype(np.float32))
+    a = warp_bilinear(img, jnp.broadcast_to(jnp.asarray([3.0, -2.0]), (32, 40, 2)))
+    b = shift2d(img, 3, -2)
+    assert np.abs(np.asarray(a - b))[3:, :-4].max() < 1e-6
+
+
+def test_avg_pool_and_pyramid():
+    img = jnp.arange(16.0).reshape(4, 4)
+    p = avg_pool2(img)
+    assert p.shape == (2, 2)
+    assert float(p[0, 0]) == (0 + 1 + 4 + 5) / 4
+    pyr = build_pyramid(jnp.zeros((32, 48)), 3)
+    assert [x.shape for x in pyr] == [(32, 48), (16, 24), (8, 12)]
+
+
+def test_effective_levels_clamp():
+    p = FlowParams(levels=6, min_level_size=16)
+    assert effective_levels(p, 240, 320) == 4
+    assert effective_levels(p, 1088, 1920) == 6
+    assert effective_levels(p, 20, 20) == 1
+
+
+def test_known_shift_recovery():
+    h, w = 240, 320
+    big = _texture(h, w, pad=40)
+
+    def crop(dy, dx):
+        return jnp.asarray(big[40 + dy : 40 + dy + h, 40 + dx : 40 + dx + w])
+
+    i1 = crop(0, 0)
+    for true in [(1, 0), (7, -3), (-12, 9)]:
+        i2 = crop(-true[1], -true[0])
+        f = dense_flow(i1, i2, FlowParams(levels=6))
+        inner = np.asarray(f)[40:-40, 40:-40]
+        epe = np.linalg.norm(inner - np.asarray(true), axis=-1).mean()
+        assert epe < 1.0, (true, epe)
+
+
+def test_rotation_field_recovery():
+    h, w = 240, 320
+    i1 = jnp.asarray(_texture(h, w))
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ang = np.deg2rad(1.0)
+    u = (np.cos(ang) - 1) * (xs - w / 2) - np.sin(ang) * (ys - h / 2)
+    v = np.sin(ang) * (xs - w / 2) + (np.cos(ang) - 1) * (ys - h / 2)
+    tf = np.stack([u, v], -1).astype(np.float32)
+    i2 = warp_bilinear(i1, jnp.asarray(-tf))
+    f = dense_flow(i1, i2, FlowParams(levels=6))
+    inner = np.asarray(f)[30:-30, 30:-30]
+    epe = np.linalg.norm(inner - tf[30:-30, 30:-30], axis=-1).mean()
+    assert epe < 0.5, epe
+
+
+def test_warm_start():
+    h, w = 120, 160
+    big = _texture(h, w, pad=20, seed=3)
+    i1 = jnp.asarray(big[20 : 20 + h, 20 : 20 + w])
+    i2 = jnp.asarray(big[17 : 17 + h, 24 : 24 + w])  # shift (4, -3)... content
+    init = jnp.broadcast_to(jnp.asarray([-4.0, 3.0]), (h, w, 2))
+    f = dense_flow(i1, i2, FlowParams(levels=3), init_flow=init)
+    inner = np.asarray(f)[30:-30, 30:-30]
+    epe = np.linalg.norm(inner - np.asarray([-4.0, 3.0]), axis=-1).mean()
+    assert epe < 0.5, epe
+
+
+def test_flow_to_normalized():
+    f = jnp.ones((10, 20, 2)) * jnp.asarray([20.0, 10.0])
+    n = flow_to_normalized(f)
+    assert np.allclose(np.asarray(n), 1.0)
+
+
+def test_sobel_and_dilate_mask():
+    # cv-decoder contrast mask path: sobel -> threshold -> dilate.
+    img = jnp.zeros((32, 32)).at[:, 16:].set(1.0)  # vertical edge
+    s = jnp.abs(sobel_xy(img))
+    mask = (s > 1e-3).astype(jnp.float32)
+    grown = dilate_disk(mask, 3)
+    assert float(grown.sum()) > float(mask.sum())
+    flat = jnp.abs(sobel_xy(jnp.full((16, 16), 0.5)))
+    assert float(flat[2:-2, 2:-2].max()) < 1e-6
+
+
+def test_rgb_to_gray():
+    rgb = jnp.ones((4, 4, 3)) * jnp.asarray([255.0, 0.0, 0.0])
+    g = rgb_to_gray(rgb)
+    assert abs(float(g[0, 0]) - 0.299 * 255) < 1e-3
+
+
+def test_box_filter_constant():
+    x = jnp.full((16, 16), 2.0)
+    out = box_filter(x, 5)
+    assert abs(float(out[8, 8]) - 2.0) < 1e-6
