@@ -1,0 +1,89 @@
+"""Headline benchmark: dense 1080p optical flow, frames/sec/chip.
+
+Prints ONE JSON line.  ``vs_baseline`` is the speedup over the reference's
+own dense-flow cost — OpenCV Farneback at 45.679 ms/frame on CPU
+(/root/reference/docs/demo.md:85, BASELINE.md) ≈ 21.89 fps.
+
+Timing method (see .claude/skills/verify/SKILL.md): the axon TPU tunnel makes
+per-call dispatch ~29 ms and ``block_until_ready`` unreliable, so the K
+benchmark iterations run inside ONE jit via ``lax.scan`` with a warm-start
+data dependency between iterations (which is also the real streaming
+behavior), and the sync point is a host ``device_get`` of a scalar.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow
+
+BASELINE_FPS = 1000.0 / 45.679  # reference OpenCV dense flow, demo.md:85
+
+
+def build_runner(batch: int, h: int, w: int, iters: int, params: FlowParams):
+    @jax.jit
+    def run(i1, i2):
+        init = jnp.zeros((batch, h, w, 2), jnp.float32)
+
+        def body(flow, _):
+            # Warm-started flow chains iterations (OPTFLOW_USE_INITIAL_FLOW
+            # semantics) and prevents XLA from hoisting the loop body.
+            f = dense_flow(i1, i2, params, init_flow=flow)
+            return f, ()
+
+        flow, _ = jax.lax.scan(body, init, None, length=iters)
+        return jnp.sum(flow[..., 0])
+
+    return run
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--width", type=int, default=1920)
+    args = ap.parse_args()
+
+    b, h, w = args.batch, args.height, args.width
+    params = FlowParams()
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    i1 = jax.random.uniform(k1, (b, h, w), jnp.float32, 0.0, 255.0)
+    shift = jnp.roll(i1, shift=3, axis=-1)
+    noise = jax.random.uniform(k2, (b, h, w), jnp.float32, -2.0, 2.0)
+    i2 = shift + noise
+
+    run = build_runner(b, h, w, args.iters, params)
+    print(
+        f"compiling on {jax.devices()[0].platform} "
+        f"(batch={b}, {h}x{w}, iters={args.iters})...",
+        file=sys.stderr,
+    )
+    float(jax.device_get(run(i1, i2)))  # compile + warm up
+
+    t0 = time.perf_counter()
+    float(jax.device_get(run(i1, i2)))
+    elapsed = time.perf_counter() - t0
+
+    fps = b * args.iters / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "dense_flow_1080p_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -188,6 +188,55 @@ def field_to_sparse(field: jnp.ndarray) -> SparseFlow:
     return SparseFlow(pos, motion, mask)
 
 
+def grid_size_for(width: int, height: int, max_dim: int = 150) -> Tuple[int, int]:
+    """Densified-grid size ≤ max_dim per side, preserving aspect.
+
+    Matches cv-decoder's downsample target (cv-decoder/src/lib.rs:98-121):
+    1920x1080 -> (150, 84).  Never exceeds the source dimensions.
+    """
+    if width >= height:
+        gw = min(max_dim, width)
+        gh = max(1, min(height, round(height * gw / width)))
+    else:
+        gh = min(max_dim, height)
+        gw = max(1, min(width, round(width * gh / height)))
+    return gw, gh
+
+
+def _axis_scatter_matrix(n: int, g: int) -> jnp.ndarray:
+    """(n, g) one-hot map of pixel index -> grid cell, round-half-up.
+
+    Pixel centers at (i + 0.5)/n in [0,1]; cell = round(p * (g - 1)) — the
+    same cell rule as :func:`flow_cell_index` / motion_field.rs:164-178.
+    """
+    import numpy as np
+
+    p = (np.arange(n) + 0.5) / n
+    cell = np.floor(p * (g - 1) + 0.5).astype(np.int32)
+    m = np.zeros((n, g), dtype=np.float32)
+    m[np.arange(n), cell] = 1.0
+    return jnp.asarray(m)
+
+
+def grid_downsample_field(field: jnp.ndarray, gw: int, gh: int) -> jnp.ndarray:
+    """Dense (..., H, W, 2) field -> (..., gh, gw, 2) cell-mean field.
+
+    The MXU formulation of the reference's downsample-densify (cv-decoder
+    lib.rs:246-291: every pixel's vector scatter-meaned into a ≤150² grid):
+    because the cell map is separable and monotone per axis, the scatter-mean
+    is exactly ``S_yᵀ · field · S_x`` with per-axis one-hot matrices — two
+    matmuls instead of a 2M-element scatter.
+    """
+    h, w = field.shape[-3], field.shape[-2]
+    sy = _axis_scatter_matrix(h, gh)  # (H, gh)
+    sx = _axis_scatter_matrix(w, gw)  # (W, gw)
+    sums = jnp.einsum(
+        "hg,...hwc,wk->...gkc", sy, field, sx, precision="highest"
+    )
+    counts = jnp.sum(sy, axis=0)[:, None] * jnp.sum(sx, axis=0)[None, :]
+    return sums / jnp.maximum(counts, 1.0)[..., None]
+
+
 def gaussian_blur(field: jnp.ndarray, ksize: int, sigma: float = 0.0) -> jnp.ndarray:
     """Separable Gaussian blur over an (H, W, C) field.
 

@@ -1,0 +1,253 @@
+"""Multi-stream batched per-frame pipeline (the TPU "training step").
+
+The reference processes ONE video at a time: a decoder thread feeds a worker
+that runs every estimator on the frame's motion vectors and a detector on the
+same field (ofps-suite/src/app/tracking/worker.rs:305-401, detection.rs:92-168).
+
+The TPU-native equivalent batches B streams into one jitted step:
+
+    frames (B, H, W) ──► dense flow (Pallas/XLA pyramid) ─┐
+    or codec MVs (B, N, 2) ───────────────────────────────┤
+                                                          ▼
+      grid densify (MXU scatter-matmul) ► SparseFlow (B, G, 2)
+         ├─► every estimator (vmapped RANSAC/LSQ solves) ► pose integration
+         └─► block-motion detector (vmapped)
+
+Rotation/translation state, estimator carry (e.g. libmv's PrevMotion chain),
+and the dense-flow warm start all thread explicitly through
+:class:`StreamState`, so the step composes with ``lax.scan`` over time and
+with ``jax.sharding`` over the stream/space mesh axes
+(:mod:`ofps_tpu.parallel.sharding`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ofps_tpu.core import quat
+from ofps_tpu.core.camera import StandardCamera
+from ofps_tpu.core.motion import (
+    SparseFlow,
+    field_to_sparse,
+    grid_downsample_field,
+    grid_size_for,
+)
+from ofps_tpu.detectors.base import DetectionResult, DetectorInstance
+from ofps_tpu.estimators.base import EstimatorInstance
+from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow, flow_to_normalized
+from ofps_tpu.parallel.sharding import StreamSharding, constrain
+
+
+class StreamState(NamedTuple):
+    """Per-stream carried state for a batch of B streams."""
+
+    prev_gray: jnp.ndarray  # (B, H, W) previous grayscale frame
+    prev_flow: jnp.ndarray  # (B, H, W, 2) dense-flow warm start (pixels)
+    has_prev: jnp.ndarray  # (B,) 1.0 once a previous frame exists
+    rot: Tuple[jnp.ndarray, ...]  # per estimator: (B, 4) integrated rotation
+    pos: Tuple[jnp.ndarray, ...]  # per estimator: (B, 3) integrated position
+    est: Tuple[Any, ...]  # per estimator: batched carry pytree
+
+
+class StreamOutputs(NamedTuple):
+    """Per-frame outputs of one batched step."""
+
+    flow: jnp.ndarray  # (B, H, W, 2) dense flow in pixels
+    grid: jnp.ndarray  # (B, gh, gw, 2) densified normalized field
+    rot: Tuple[jnp.ndarray, ...]  # per estimator: (B, 4) integrated rotation
+    pos: Tuple[jnp.ndarray, ...]  # per estimator: (B, 3) integrated position
+    delta_rot: Tuple[jnp.ndarray, ...]  # per estimator: (B, 4) this frame
+    delta_tr: Tuple[jnp.ndarray, ...]  # per estimator: (B, 3) this frame
+    detection: Optional[DetectionResult]  # batched over B, or None
+
+
+def _broadcast_state(tree, batch: int):
+    """Tile an unbatched estimator init() pytree to a leading B axis."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (batch,) + jnp.shape(x)),
+        tree,
+    )
+
+
+class StreamPipeline:
+    """A configured batched pipeline over B streams of (H, W) video.
+
+    ``estimators`` mirror the suite's run-all-estimators-per-frame fan-out
+    (rayon ``par_bridge`` in the reference) as one fused XLA program; the
+    optional ``detector`` mirrors the detection app.
+    """
+
+    def __init__(
+        self,
+        camera: StandardCamera,
+        estimators: Sequence[EstimatorInstance] = (),
+        detector: Optional[DetectorInstance] = None,
+        flow_params: FlowParams = FlowParams(),
+        grid_wh: Optional[Tuple[int, int]] = None,
+        shardings: Optional[StreamSharding] = None,
+    ):
+        self.camera = camera
+        self.estimators = tuple(estimators)
+        self.detector = detector
+        self.flow_params = flow_params
+        self.grid_wh = grid_wh
+        self.shard = shardings or StreamSharding()
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, batch: int, height: int, width: int) -> StreamState:
+        e = len(self.estimators)
+        return StreamState(
+            prev_gray=jnp.zeros((batch, height, width), jnp.float32),
+            prev_flow=jnp.zeros((batch, height, width, 2), jnp.float32),
+            has_prev=jnp.zeros((batch,), jnp.float32),
+            rot=tuple(
+                jnp.broadcast_to(quat.identity(), (batch, 4)) for _ in range(e)
+            ),
+            pos=tuple(jnp.zeros((batch, 3), jnp.float32) for _ in range(e)),
+            est=tuple(
+                _broadcast_state(est.init(), batch) for est in self.estimators
+            ),
+        )
+
+    # -- consumers (estimators + detector) on a sparse flow batch ------------
+
+    def _consume(
+        self, state: StreamState, sparse: SparseFlow, key: jnp.ndarray
+    ):
+        batch = sparse.mask.shape[0]
+        rots, poss, dr, dt, est_states = [], [], [], [], []
+        keys = jax.random.split(key, max(len(self.estimators), 1) * batch)
+        for i, est in enumerate(self.estimators):
+            ekeys = keys[i * batch : (i + 1) * batch]
+
+            def one(st, fl, k, r0, p0, _est=est):
+                r, t, st2 = _est.estimate(st, fl, self.camera, k)
+                # motion_step integration (estimator.rs:38-53).
+                p1 = p0 + quat.rotate_vec(r0, t)
+                r1 = quat.mul(r, r0)
+                return r1, p1, st2, r, t
+
+            r1, p1, st2, r, t = jax.vmap(one)(
+                state.est[i], sparse, ekeys, state.rot[i], state.pos[i]
+            )
+            rots.append(constrain(r1, self.shard.batch))
+            poss.append(constrain(p1, self.shard.batch))
+            dr.append(r)
+            dt.append(t)
+            est_states.append(st2)
+
+        detection = None
+        if self.detector is not None:
+            detection = jax.vmap(self.detector.detect)(sparse)
+        return tuple(rots), tuple(poss), tuple(dr), tuple(dt), tuple(
+            est_states
+        ), detection
+
+    # -- step variants -------------------------------------------------------
+
+    def step_from_frames(
+        self, state: StreamState, gray: jnp.ndarray, key: jnp.ndarray
+    ) -> Tuple[StreamState, StreamOutputs]:
+        """Full step from raw frames: dense flow on-device, then consumers.
+
+        ``gray``: (B, H, W) float32.  The first frame per stream (when
+        ``has_prev`` is 0) produces a zero flow field, hence identity pose
+        deltas — matching the reference's warm-up frame.
+        """
+        gray = constrain(gray, self.shard.image)
+        h, w = gray.shape[-2], gray.shape[-1]
+        flow_px = dense_flow(
+            state.prev_gray, gray, self.flow_params, init_flow=state.prev_flow
+        )
+        flow_px = flow_px * state.has_prev[:, None, None, None]
+        flow_px = constrain(flow_px, self.shard.flow)
+
+        gw, gh = self.grid_wh or grid_size_for(w, h)
+        grid = grid_downsample_field(flow_to_normalized(flow_px), gw, gh)
+        grid = constrain(grid, self.shard.batch)
+        sparse = jax.vmap(field_to_sparse)(grid)
+
+        rot, pos, dr, dt, est, detection = self._consume(state, sparse, key)
+        new_state = StreamState(
+            prev_gray=gray,
+            prev_flow=flow_px,
+            has_prev=jnp.ones_like(state.has_prev),
+            rot=rot,
+            pos=pos,
+            est=est,
+        )
+        outputs = StreamOutputs(
+            flow=flow_px,
+            grid=grid,
+            rot=rot,
+            pos=pos,
+            delta_rot=dr,
+            delta_tr=dt,
+            detection=detection,
+        )
+        return new_state, outputs
+
+    def step_from_flow(
+        self, state: StreamState, sparse: SparseFlow, key: jnp.ndarray
+    ) -> Tuple[StreamState, StreamOutputs]:
+        """Step from decoder-provided motion vectors (codec-MV / .mvec path).
+
+        ``sparse``: batched SparseFlow with leading (B, N) arrays.
+        """
+        sparse = SparseFlow(
+            constrain(sparse.pos, self.shard.batch),
+            constrain(sparse.motion, self.shard.batch),
+            constrain(sparse.mask, self.shard.batch),
+        )
+        rot, pos, dr, dt, est, detection = self._consume(state, sparse, key)
+        new_state = state._replace(rot=rot, pos=pos, est=est)
+        b = sparse.mask.shape[0]
+        empty = jnp.zeros((b, 0, 0, 2), jnp.float32)
+        outputs = StreamOutputs(
+            flow=empty,
+            grid=empty,
+            rot=rot,
+            pos=pos,
+            delta_rot=dr,
+            delta_tr=dt,
+            detection=detection,
+        )
+        return new_state, outputs
+
+    # -- time scan -----------------------------------------------------------
+
+    def scan_frames(
+        self, state: StreamState, grays: jnp.ndarray, key: jnp.ndarray
+    ) -> Tuple[StreamState, StreamOutputs]:
+        """Process (T, B, H, W) frames with ``lax.scan`` over time.
+
+        Per-stream time stays sequential (estimators are stateful across
+        frames, SURVEY.md §5); parallelism comes from the B and spatial axes.
+        """
+        t = grays.shape[0]
+        keys = jax.random.split(key, t)
+
+        def body(st, xt):
+            g, k = xt
+            st, out = self.step_from_frames(st, g, k)
+            return st, out
+
+        return jax.lax.scan(body, state, (grays, keys))
+
+    def scan_flow(
+        self, state: StreamState, sparse_seq: SparseFlow, key: jnp.ndarray
+    ) -> Tuple[StreamState, StreamOutputs]:
+        """Process a (T, B, N) SparseFlow sequence with ``lax.scan``."""
+        t = sparse_seq.mask.shape[0]
+        keys = jax.random.split(key, t)
+
+        def body(st, xt):
+            fl, k = xt
+            st, out = self.step_from_flow(st, fl, k)
+            return st, out
+
+        return jax.lax.scan(body, state, (sparse_seq, keys))

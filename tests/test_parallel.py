@@ -1,0 +1,163 @@
+"""Multi-stream pipeline + mesh sharding tests (8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ofps_tpu.core import quat
+from ofps_tpu.core.camera import StandardCamera
+from ofps_tpu.core.motion import grid_downsample_field, grid_size_for
+from ofps_tpu.detectors.base import create_detector
+from ofps_tpu.estimators.base import create_estimator
+from ofps_tpu.ops.flow_pyramid import FlowParams
+from ofps_tpu.parallel import (
+    StreamPipeline,
+    make_stream_mesh,
+    shard_put,
+    stream_sharding,
+)
+
+
+def _camera():
+    return StandardCamera.create(4.0 / 3.0, 90.0)
+
+
+def _pipeline(shardings=None, with_libmv=False):
+    ests = [create_estimator("almeida", num_iters=16, ransac_samples=128)]
+    if with_libmv:
+        ests.append(create_estimator("libmv", num_hypotheses=64))
+    return StreamPipeline(
+        camera=_camera(),
+        estimators=ests,
+        detector=create_detector("block_motion"),
+        flow_params=FlowParams(levels=2, coarse_search=3),
+        shardings=shardings,
+    )
+
+
+def test_grid_size_for():
+    assert grid_size_for(1920, 1080) == (150, 84)
+    assert grid_size_for(1080, 1920) == (84, 150)
+    assert grid_size_for(64, 48) == (64, 48)
+
+
+def test_grid_downsample_matches_cell_mean():
+    h, w, gh, gw = 12, 16, 3, 4
+    field = np.random.RandomState(0).rand(h, w, 2).astype(np.float32)
+    got = np.asarray(grid_downsample_field(jnp.asarray(field), gw, gh))
+    # Oracle: per-pixel cell assignment, mean per cell.
+    sums = np.zeros((gh, gw, 2))
+    cnt = np.zeros((gh, gw))
+    for y in range(h):
+        for x in range(w):
+            cy = int(np.floor((y + 0.5) / h * (gh - 1) + 0.5))
+            cx = int(np.floor((x + 0.5) / w * (gw - 1) + 0.5))
+            sums[cy, cx] += field[y, x]
+            cnt[cy, cx] += 1
+    np.testing.assert_allclose(got, sums / cnt[..., None], rtol=1e-5)
+
+
+def _translate_frames(b, h, w, shift):
+    base = np.random.RandomState(1).rand(1, h + 8, w + 8).astype(np.float32) * 255
+    base = np.repeat(base, b, axis=0)
+    # Smooth so block matching has gradients to lock onto.
+    k = np.ones((5, 5)) / 25.0
+    from scipy import signal  # scipy ships with the jax stack
+
+    base = np.stack(
+        [signal.convolve2d(f, k, mode="same") for f in base], axis=0
+    )
+    f0 = base[:, 4 : 4 + h, 4 : 4 + w]
+    f1 = base[:, 4 : 4 + h, 4 - shift : 4 - shift + w]
+    return jnp.asarray(f0), jnp.asarray(f1)
+
+
+def test_step_from_frames_recovers_translation():
+    b, h, w = 2, 48, 64
+    pipe = _pipeline()
+    f0, f1 = _translate_frames(b, h, w, shift=2)
+    state = pipe.init_state(b, h, w)
+    state = state._replace(prev_gray=f0, has_prev=jnp.ones((b,)))
+    step = jax.jit(pipe.step_from_frames)
+    state, out = step(state, f1, jax.random.PRNGKey(0))
+    flow = np.asarray(out.flow)
+    # Median flow should be ~(+2, 0) pixels (content moved right by 2).
+    inner = flow[:, 8:-8, 8:-8]
+    assert abs(np.median(inner[..., 0]) - 2.0) < 0.5, np.median(inner[..., 0])
+    assert abs(np.median(inner[..., 1])) < 0.5
+    assert np.all(np.isfinite(np.asarray(out.rot[0])))
+    assert out.detection is not None
+    # Global translation moves every block: the detector must fire.
+    assert np.all(np.asarray(out.detection.detected))
+
+
+def test_first_frame_produces_identity_pose():
+    b, h, w = 1, 32, 32
+    pipe = _pipeline()
+    state = pipe.init_state(b, h, w)
+    gray = jnp.zeros((b, h, w))
+    state, out = jax.jit(pipe.step_from_frames)(
+        state, gray, jax.random.PRNGKey(0)
+    )
+    np.testing.assert_allclose(np.asarray(out.flow), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(out.rot[0][0]), np.asarray(quat.identity()), atol=1e-5
+    )
+    assert float(state.has_prev[0]) == 1.0
+
+
+def test_scan_frames_threads_state():
+    b, h, w = 1, 32, 48
+    pipe = _pipeline(with_libmv=True)
+    f0, f1 = _translate_frames(b, h, w, shift=1)
+    grays = jnp.stack([f0, f1, f0, f1])  # (T=4, B, H, W)
+    state = pipe.init_state(b, h, w)
+    final, outs = jax.jit(pipe.scan_frames)(state, grays, jax.random.PRNGKey(3))
+    assert outs.rot[0].shape == (4, b, 4)
+    assert np.all(np.isfinite(np.asarray(outs.rot[1])))
+    # libmv's PrevMotion chain state must have evolved.
+    assert float(final.est[1].has[0]) >= 0.0
+
+
+def test_sharded_step_matches_unsharded():
+    mesh = make_stream_mesh(8)  # (4 stream, 2 space) on the CPU mesh
+    shard = stream_sharding(mesh)
+    b, h, w = 4, 32, 64
+    f0, f1 = _translate_frames(b, h, w, shift=1)
+    key = jax.random.PRNGKey(5)
+
+    plain = _pipeline()
+    st = plain.init_state(b, h, w)._replace(
+        prev_gray=f0, has_prev=jnp.ones((b,))
+    )
+    _, out_plain = jax.jit(plain.step_from_frames)(st, f1, key)
+
+    sharded = _pipeline(shardings=shard)
+    st2 = sharded.init_state(b, h, w)._replace(
+        prev_gray=jax.device_put(f0, shard.image), has_prev=jnp.ones((b,))
+    )
+    st2 = st2._replace(prev_flow=jax.device_put(st2.prev_flow, shard.flow))
+    with mesh:
+        _, out_sharded = jax.jit(sharded.step_from_frames)(
+            st2, jax.device_put(f1, shard.image), key
+        )
+        jax.block_until_ready(out_sharded)
+
+    np.testing.assert_allclose(
+        np.asarray(out_plain.flow), np.asarray(out_sharded.flow), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_plain.rot[0]),
+        np.asarray(out_sharded.rot[0]),
+        atol=1e-4,
+    )
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    state, out = jax.jit(fn)(*args)
+    assert np.all(np.isfinite(np.asarray(out.rot[0])))
+    ge.dryrun_multichip(8)
