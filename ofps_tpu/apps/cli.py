@@ -1,0 +1,174 @@
+"""Command-line tools (the reference's CLI + headless suite equivalents).
+
+Subcommands:
+
+* ``motion-extract`` — video -> ``.mvec`` dump
+  (/root/reference/motion-extract/src/main.rs:17-35).
+* ``flow-extract``   — video -> numbered Middlebury ``.flo`` files with
+  densify -> hole-fill -> 11x11 gaussian blur, optional HSV debug PNGs
+  (/root/reference/flow-extract/src/main.rs:69-168).
+* ``run-config``     — run a detection or tracking JSON config headlessly
+  (the suite's MotionDetectionConfig / MotionTrackingConfig equivalents).
+* ``info``           — list registered decoder/estimator/detector plugins
+  (PluginStore discovery parity).
+* ``bench``          — the repo benchmark (same as ``python bench.py``).
+
+Usage: ``python -m ofps_tpu.apps.cli <subcommand> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def cmd_motion_extract(args) -> int:
+    from ofps_tpu.decoders.base import create_decoder
+    from ofps_tpu.decoders.mvec import write_mvec_frame
+
+    decoder = create_decoder(args.input, args.plugin)
+    n = 0
+    with open(args.output, "wb") as f:
+        while True:
+            frame = decoder.process_frame()
+            if frame is None or (args.frames and n >= args.frames):
+                break
+            write_mvec_frame(f, frame.pos, frame.motion)
+            n += 1
+    print(f"wrote {n} frames to {args.output}")
+    return 0
+
+
+def cmd_flow_extract(args) -> int:
+    import jax
+    import numpy as np
+
+    from ofps_tpu.core.motion import Densifier, SparseFlow, gaussian_blur
+    from ofps_tpu.decoders.base import create_decoder
+    from ofps_tpu.decoders.flo import write_flo
+
+    decoder = create_decoder(args.input, args.plugin)
+    os.makedirs(args.output, exist_ok=True)
+    w, h = args.width, args.height
+
+    @jax.jit
+    def densify_field(flow: SparseFlow):
+        d = Densifier.zeros(w, h).add_flow(flow)
+        d = d.interpolate_empty_cells()
+        return gaussian_blur(d.finalize(), 11)
+
+    n = 0
+    while True:
+        frame = decoder.process_frame()
+        if frame is None or (args.frames and n >= args.frames):
+            break
+        flow = SparseFlow.from_arrays(frame.pos, frame.motion, args.capacity)
+        field = np.asarray(densify_field(flow))
+        # Pixel-unit output like write_optical_flow receives in the reference.
+        field = field * np.array([w, h], dtype=np.float32)
+        write_flo(os.path.join(args.output, f"{n:06}.flo"), field)
+        if args.draw_flow:
+            from ofps_tpu.apps.viz import flow_extract_display, save_png
+
+            save_png(
+                os.path.join(args.output, f"{n:06}.png"),
+                flow_extract_display(field / np.array([w, h])),
+            )
+        n += 1
+    print(f"wrote {n} .flo files to {args.output}")
+    return 0
+
+
+def cmd_run_config(args) -> int:
+    with open(args.config) as f:
+        config = json.load(f)
+    app = config.get("app")
+    if app == "detection":
+        from ofps_tpu.apps.detection import run_detection_config
+
+        res = run_detection_config(config)
+        s = config.get("settings", {})
+        ranges = res.filtered_ranges(
+            int(s.get("max_frame_gap", 10)), int(s.get("min_frames", 5))
+        )
+        print(
+            f"processed {res.frames} frames; motion ranges: {ranges}"
+        )
+    elif app == "tracking":
+        from ofps_tpu.apps.tracking import run_tracking_config
+
+        res = run_tracking_config(config)
+        print(
+            f"processed {res.frames} frames with "
+            f"{[t.name for t in res.tracks]}"
+        )
+        for stage, s in res.perf.summary().items():
+            print(f"  {stage}: avg {s['avg_ms']:.2f} ms over {s['frames']}")
+    else:
+        print(f"unknown app {app!r} (want 'detection' or 'tracking')", file=sys.stderr)
+        return 1
+    return 0
+
+
+def cmd_info(args) -> int:
+    from ofps_tpu.decoders.base import available_decoders
+    from ofps_tpu.detectors.base import available_detectors
+    from ofps_tpu.estimators.base import available_estimators
+
+    print("decoders:  ", ", ".join(available_decoders()))
+    print("estimators:", ", ".join(available_estimators()))
+    print("detectors: ", ", ".join(available_detectors()))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    sys.argv = ["bench.py"] + (args.rest or [])
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(0, root)
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ofps-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    me = sub.add_parser("motion-extract", help="video -> .mvec dump")
+    me.add_argument("input")
+    me.add_argument("output")
+    me.add_argument("--plugin", default=None)
+    me.add_argument("--frames", type=int, default=None)
+    me.set_defaults(fn=cmd_motion_extract)
+
+    fe = sub.add_parser("flow-extract", help="video -> .flo files")
+    fe.add_argument("input")
+    fe.add_argument("output")
+    fe.add_argument("--width", type=int, default=150)
+    fe.add_argument("--height", type=int, default=84)
+    fe.add_argument("--plugin", default=None)
+    fe.add_argument("--frames", type=int, default=None)
+    fe.add_argument("--capacity", type=int, default=16384)
+    fe.add_argument("--draw-flow", action="store_true")
+    fe.set_defaults(fn=cmd_flow_extract)
+
+    rc = sub.add_parser("run-config", help="run a JSON app config")
+    rc.add_argument("config")
+    rc.set_defaults(fn=cmd_run_config)
+
+    info = sub.add_parser("info", help="list registered plugins")
+    info.set_defaults(fn=cmd_info)
+
+    be = sub.add_parser("bench", help="run the repo benchmark")
+    be.add_argument("rest", nargs=argparse.REMAINDER)
+    be.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,178 @@
+"""Headless camera-tracking app (MotionTrackingApp equivalent).
+
+Behavioral spec: ``/root/reference/ofps-suite/src/app/tracking/`` — a decoder
+feeds every enabled estimator each frame (worker.rs:305-401; the rayon
+fan-out becomes one fused jitted step), poses integrate via ``motion_step``,
+and the results compare against ground-truth CSVs with per-frame error stats
+and CSV/plot export (mod.rs:149-216, 756-1028).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ofps_tpu.core.camera import StandardCamera
+from ofps_tpu.core.motion import SparseFlow
+from ofps_tpu.core.properties import set_properties
+from ofps_tpu.decoders.base import create_decoder
+from ofps_tpu.estimators.base import create_estimator
+from ofps_tpu.apps import gt as gtmod
+from ofps_tpu.parallel.stream import StreamPipeline
+from ofps_tpu.pipeline.runtime import DecoderFeed, PerfStats, RealtimeTimer
+
+
+@dataclasses.dataclass
+class EstimatorTrack:
+    """Per-estimator accumulated results (EstimatorState parity)."""
+
+    name: str
+    transforms: List[np.ndarray] = dataclasses.field(default_factory=list)
+    translations: List[np.ndarray] = dataclasses.field(default_factory=list)
+    poses_rot: List[np.ndarray] = dataclasses.field(default_factory=list)
+    poses_pos: List[np.ndarray] = dataclasses.field(default_factory=list)
+
+    def pose_stats(self):
+        return gtmod.pose_stats(self.transforms, self.poses_rot)
+
+    def err_stats(self, truth):
+        return gtmod.calc_err(truth, self.transforms)
+
+    def avg_err(self, truth):
+        return gtmod.calc_avg_err(truth, self.transforms)
+
+
+@dataclasses.dataclass
+class TrackingResult:
+    frames: int
+    tracks: List[EstimatorTrack]
+    perf: PerfStats
+
+
+def _estimator_with_props(name: str, props: Dict[str, Any]):
+    inst = create_estimator(name)
+    if props:
+        params = set_properties(name, inst.params, props)
+        inst = create_estimator(name, **params._asdict())
+    return inst
+
+
+def run_tracking(
+    input_path: str,
+    estimators: List[Dict[str, Any]],
+    camera_aspect: float,
+    camera_fov_y: float,
+    decoder_plugin: Optional[str] = None,
+    capacity: int = 16384,
+    realtime: bool = False,
+    max_frames: Optional[int] = None,
+    seed: int = 0,
+) -> TrackingResult:
+    """Track camera motion with every listed estimator on one stream.
+
+    ``estimators``: [{"name": ..., "properties": {...}}, ...].
+    """
+    insts = [
+        _estimator_with_props(e["name"], e.get("properties") or {})
+        for e in estimators
+        if e.get("enabled", True)
+    ]
+    camera = StandardCamera.create(camera_aspect, camera_fov_y)
+    pipe = StreamPipeline(camera=camera, estimators=insts)
+    state = pipe.init_state(1, 1, 1)  # flow path unused on the MV input
+    step = jax.jit(pipe.step_from_flow)
+
+    decoder = create_decoder(input_path, decoder_plugin)
+    feed = DecoderFeed(decoder)
+    timer = RealtimeTimer(decoder.get_framerate() if realtime else None)
+    perf = PerfStats()
+    tracks = [EstimatorTrack(name=i.name) for i in insts]
+    key = jax.random.PRNGKey(seed)
+    frames = 0
+
+    try:
+        for frame in feed:
+            perf.add("decode", getattr(frame, "decode_time", 0.0))
+            with perf.time("estimate"):
+                flow = SparseFlow.from_arrays(frame.pos, frame.motion, capacity)
+                flow = SparseFlow(
+                    flow.pos[None], flow.motion[None], flow.mask[None]
+                )
+                key, sub = jax.random.split(key)
+                state, out = step(state, flow, sub)
+                out = jax.device_get(out)
+            for t, track in enumerate(tracks):
+                track.transforms.append(np.asarray(out.delta_rot[t][0]))
+                track.translations.append(np.asarray(out.delta_tr[t][0]))
+                track.poses_rot.append(np.asarray(out.rot[t][0]))
+                track.poses_pos.append(np.asarray(out.pos[t][0]))
+            frames += 1
+            timer.tick()
+            if max_frames is not None and frames >= max_frames:
+                break
+    finally:
+        feed.stop()
+
+    return TrackingResult(frames=frames, tracks=tracks, perf=perf)
+
+
+def run_tracking_config(config: Dict[str, Any]) -> TrackingResult:
+    """Run from a JSON config (MotionTrackingConfig schema equivalent).
+
+    Schema::
+
+        {"app": "tracking",
+         "decoder": {"input": "...", "plugin": null},
+         "camera_aspect": 1.777, "camera_fov_y": 90.0,
+         "estimators": [{"name": "almeida", "enabled": true,
+                         "properties": {}}, ...],
+         "ground_truth": "gt.csv" | null,
+         "realtime_processing": false,
+         "output": {"stats_csv_prefix": "out/stats_",
+                    "perf_csv": "...", "plot_prefix": "..."}}
+    """
+    dec = config.get("decoder", {})
+    res = run_tracking(
+        dec["input"],
+        config.get("estimators", [{"name": "almeida"}]),
+        camera_aspect=float(config.get("camera_aspect", 16.0 / 9.0)),
+        camera_fov_y=float(config.get("camera_fov_y", 90.0)),
+        decoder_plugin=dec.get("plugin"),
+        realtime=bool(config.get("realtime_processing", False)),
+        max_frames=config.get("max_frames"),
+    )
+
+    truth = None
+    if config.get("ground_truth"):
+        truth = gtmod.load_ground_truth(config["ground_truth"])
+
+    out = config.get("output", {})
+    for track in res.tracks:
+        pose = track.pose_stats()
+        err = track.err_stats(truth) if truth else []
+        if out.get("stats_csv_prefix"):
+            gtmod.write_stats_csv(
+                out["stats_csv_prefix"] + track.name + ".csv", err, pose
+            )
+        if out.get("plot_prefix"):
+            from ofps_tpu.apps.viz import plot_tracking
+
+            plot_tracking(
+                out["plot_prefix"] + track.name + ".png",
+                pose,
+                err,
+                title=track.name,
+            )
+        if truth:
+            avg = track.avg_err(truth)
+            deg = 180.0 / np.pi
+            print(
+                f"{track.name}: avg err {avg[0]*deg:.4f} deg "
+                f"(r {avg[1]*deg:.4f}, p {avg[2]*deg:.4f}, y {avg[3]*deg:.4f})"
+            )
+    if out.get("perf_csv"):
+        res.perf.write_csv(out["perf_csv"])
+    return res

@@ -1,0 +1,143 @@
+"""Host-side streaming runtime: decoder feed, perf stats, realtime pacing.
+
+Behavioral spec (SURVEY.md §2.9, §3):
+
+* ``DecoderFeed`` reproduces the reference's dedicated decoder thread +
+  rendezvous channel with exactly one frame of lookahead
+  (ofps-suite/src/app/tracking/worker.rs:165-269): the decoder runs ahead by
+  one frame while the device consumes the previous one.
+* ``PerfStats`` mirrors the per-stage wall-clock Duration vectors and their
+  total/avg summary + CSV export (app/utils/perf_stats.rs:27-151).
+* ``RealtimeTimer`` mirrors the 1/framerate pacing of app/utils/timer.rs.
+"""
+
+from __future__ import annotations
+
+import csv
+import queue
+import threading
+import time
+from contextlib import contextmanager
+from typing import Dict, Iterator, List, Optional
+
+from ofps_tpu.decoders.base import DecodedFrame, Decoder
+
+
+class DecoderFeed:
+    """Runs ``decoder.process_frame`` on a worker thread, 1-frame lookahead.
+
+    Iterating yields :class:`DecodedFrame` items until end of stream.  The
+    bounded queue of size 1 gives the rendezvous-channel semantics of the
+    reference (``sync_channel(0)`` + the in-flight frame): decode of frame
+    N+1 overlaps consumption of frame N, never more.
+    """
+
+    _END = object()
+
+    def __init__(self, decoder: Decoder, want_frames: bool = False):
+        self._decoder = decoder
+        self._want_frames = want_frames
+        self._q: "queue.Queue" = queue.Queue(maxsize=1)
+        self._stop = threading.Event()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            while not self._stop.is_set():
+                t0 = time.perf_counter()
+                frame = self._decoder.process_frame(self._want_frames)
+                dt = time.perf_counter() - t0
+                if frame is None:
+                    break
+                self._q.put((frame, dt))
+        except BaseException as e:  # surfaced on the consumer side
+            self._err = e
+        finally:
+            self._q.put(self._END)
+
+    def __iter__(self) -> Iterator[DecodedFrame]:
+        while True:
+            item = self._q.get()
+            if item is self._END:
+                if self._err is not None:
+                    raise self._err
+                return
+            frame, decode_time = item
+            frame.decode_time = decode_time  # type: ignore[attr-defined]
+            yield frame
+
+    def stop(self):
+        self._stop.set()
+        try:
+            self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5)
+
+
+class PerfStats:
+    """Per-stage wall-clock statistics with CSV export parity."""
+
+    def __init__(self):
+        self.stages: Dict[str, List[float]] = {}
+
+    @contextmanager
+    def time(self, stage: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.add(stage, time.perf_counter() - t0)
+
+    def add(self, stage: str, seconds: float):
+        self.stages.setdefault(stage, []).append(seconds)
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        """{stage: {total_ms, avg_ms, frames}} like the perf window table."""
+        out = {}
+        for stage, xs in self.stages.items():
+            total = sum(xs)
+            out[stage] = {
+                "total_ms": total * 1e3,
+                "avg_ms": total * 1e3 / max(len(xs), 1),
+                "frames": len(xs),
+            }
+        return out
+
+    def write_csv(self, path: str):
+        """Per-frame times, one column per stage (perf_stats.rs CSV layout)."""
+        stages = sorted(self.stages)
+        rows = max((len(self.stages[s]) for s in stages), default=0)
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["frame"] + stages)
+            for i in range(rows):
+                w.writerow(
+                    [i]
+                    + [
+                        f"{self.stages[s][i] * 1e3:.4f}"
+                        if i < len(self.stages[s])
+                        else ""
+                        for s in stages
+                    ]
+                )
+
+
+class RealtimeTimer:
+    """Sleeps so consecutive ticks land 1/rate apart (utils/timer.rs:28-44)."""
+
+    def __init__(self, rate: Optional[float]):
+        self._dt = 1.0 / rate if rate else None
+        self._next = time.perf_counter()
+
+    def tick(self):
+        if self._dt is None:
+            return
+        self._next += self._dt
+        delay = self._next - time.perf_counter()
+        if delay > 0:
+            time.sleep(delay)
+        else:  # fell behind; resynchronize
+            self._next = time.perf_counter()

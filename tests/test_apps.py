@@ -1,0 +1,299 @@
+"""App-layer tests: properties, runtime, detection/tracking apps, CLI, viz."""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from ofps_tpu.apps import gt as gtmod
+from ofps_tpu.core import quat
+from ofps_tpu.core.properties import describe, set_properties
+from ofps_tpu.decoders.base import DecodedFrame
+from ofps_tpu.decoders.mvec import write_mvec_frame
+from ofps_tpu.estimators.almeida import AlmeidaParams
+from ofps_tpu.pipeline.runtime import DecoderFeed, PerfStats
+from synthetic import euler_deg, synthetic_field
+from ofps_tpu.core.camera import StandardCamera
+
+
+# -- properties ---------------------------------------------------------------
+
+
+def test_properties_describe_and_set():
+    params = AlmeidaParams()
+    props = {p.name: p for p in describe("almeida", params)}
+    assert props["use_ransac"].kind == "bool"
+    assert props["num_iters"].kind == "usize"
+    assert props["inlier_angle_deg"].kind == "float"
+    assert props["num_iters"].bounds == (1, 500)
+
+    p2 = set_properties("almeida", params, {"num_iters": 50, "use_ransac": False})
+    assert p2.num_iters == 50 and p2.use_ransac is False
+    # Clamping to declared bounds (BoundedProp slider semantics).
+    p3 = set_properties("almeida", params, {"num_iters": 99999})
+    assert p3.num_iters == 500
+
+    with pytest.raises(KeyError):
+        set_properties("almeida", params, {"nope": 1})
+    with pytest.raises(TypeError):
+        set_properties("almeida", params, {"use_ransac": 3})
+
+
+# -- runtime ------------------------------------------------------------------
+
+
+class FakeDecoder:
+    def __init__(self, n):
+        self.n = n
+        self.i = 0
+
+    def process_frame(self, want_frame=False, skip=0):
+        if self.i >= self.n:
+            return None
+        self.i += 1
+        pos = np.full((4, 2), 0.5, np.float32)
+        mot = np.full((4, 2), 0.01 * self.i, np.float32)
+        return DecodedFrame(pos=pos, motion=mot)
+
+    def get_framerate(self):
+        return 30.0
+
+    def get_aspect(self):
+        return (64, 48)
+
+
+def test_decoder_feed_order_and_stats(tmp_path):
+    feed = DecoderFeed(FakeDecoder(7))
+    frames = list(feed)
+    assert len(frames) == 7
+    # Frames arrive in order with decode timing attached.
+    assert [f.motion[0, 0] for f in frames] == pytest.approx(
+        [0.01 * (i + 1) for i in range(7)]
+    )
+    assert all(hasattr(f, "decode_time") for f in frames)
+
+    stats = PerfStats()
+    for f in frames:
+        stats.add("decode", f.decode_time)
+        with stats.time("estimate"):
+            pass
+    s = stats.summary()
+    assert s["decode"]["frames"] == 7 and s["estimate"]["frames"] == 7
+    path = tmp_path / "perf.csv"
+    stats.write_csv(str(path))
+    lines = path.read_text().strip().splitlines()
+    assert lines[0] == "frame,decode,estimate" and len(lines) == 8
+
+
+def test_decoder_feed_propagates_errors():
+    class Boom(FakeDecoder):
+        def process_frame(self, want_frame=False, skip=0):
+            if self.i >= 2:
+                raise IOError("boom")
+            return super().process_frame(want_frame, skip)
+
+    with pytest.raises(IOError):
+        list(DecoderFeed(Boom(5)))
+
+
+# -- detection app ------------------------------------------------------------
+
+
+def _write_mvec(path, frames_moving):
+    """Frames with uniform strong motion (or none) on a 20x20 grid."""
+    xs = (np.arange(20) + 0.5) / 20
+    pos = np.stack(np.meshgrid(xs, xs), -1).reshape(-1, 2).astype(np.float32)
+    with open(path, "wb") as f:
+        for moving in frames_moving:
+            mot = np.full_like(pos, 0.05 if moving else 0.0)
+            write_mvec_frame(f, pos, mot)
+
+
+def test_detection_ranges(tmp_path):
+    from ofps_tpu.apps.detection import DetectionSettings, run_detection
+
+    pattern = [False] * 3 + [True] * 8 + [False] * 2 + [True] * 7 + [False] * 3
+    path = str(tmp_path / "in.mvec")
+    _write_mvec(path, pattern)
+    res = run_detection(path, settings=DetectionSettings())
+    assert res.frames == len(pattern)
+    # Raw ranges: moving spans at [3,10] and [13,19].
+    assert res.motion_ranges == [(3, 10), (13, 19)]
+    # The inter-range gap is 13-10=3: coalesced iff max_frame_gap >= 3.
+    assert res.filtered_ranges(3, 5) == [(3, 19)]
+    assert res.filtered_ranges(2, 5) == [(3, 10), (13, 19)]
+    assert res.filtered_ranges(2, 7) == [(3, 10)]
+
+    csv_path = tmp_path / "ranges.csv"
+    res.write_ranges_csv(str(csv_path), DetectionSettings(max_frame_gap=3))
+    assert csv_path.read_text().strip() == "3,19"
+
+
+# -- ground truth -------------------------------------------------------------
+
+
+def _gt_rows(q, n):
+    """Blender-style GT rebased to the first frame: row 1 is identity.
+
+    (scripts/blender_ground_truth.py rebases; the decoder's first frame is
+    an I-frame with no MVs, so transforms[0] is identity too.)
+    """
+    rows = []
+    acc = np.array(quat.identity())
+    for k in range(1, n + 1):
+        rows.append(
+            gtmod.GroundTruthRow(
+                frame=k, fov_x=90.0, fov_y=90.0, rot=acc.copy(), pos=np.zeros(3)
+            )
+        )
+        acc = np.asarray(quat.mul(q, acc))
+    return rows
+
+
+def test_gt_round_trip_and_err(tmp_path):
+    q = np.asarray(euler_deg(0.0, 0.0, 0.5))
+    rows = _gt_rows(q, 6)
+    path = str(tmp_path / "gt.csv")
+    gtmod.write_ground_truth(path, rows)
+    loaded = gtmod.load_ground_truth(path)
+    assert len(loaded) == 6 and loaded[3].frame == 4
+    np.testing.assert_allclose(loaded[2].rot, rows[2].rot, atol=1e-6)
+
+    # Perfect transforms -> ~zero error (row 1 pairs identity vs identity).
+    transforms = [np.array(quat.identity())] + [q] * 5
+    stats = gtmod.calc_err(loaded, transforms)
+    assert len(stats) == 6
+    for s in stats:
+        assert s.error < 1e-5
+    avg = gtmod.calc_avg_err(loaded, transforms)
+    assert avg[0] < 1e-5
+
+    # A wrong transform shows up at the right frame.
+    bad = list(transforms)
+    bad[3] = np.asarray(euler_deg(0.0, 0.0, 1.5))
+    stats_bad = gtmod.calc_err(loaded, bad)
+    assert stats_bad[3].frame == 3  # GT row frame=4 reads transforms[3]
+    assert stats_bad[3].error > math.radians(0.9)
+
+
+# -- tracking app end-to-end --------------------------------------------------
+
+
+def test_tracking_config_end_to_end(tmp_path):
+    from ofps_tpu.apps.tracking import run_tracking_config
+
+    cam = StandardCamera.create(1.0, 90.0)
+    q = euler_deg(0.0, 0.3, 0.2)
+    flow = synthetic_field(cam, q)
+    pos = np.asarray(flow.pos)[np.asarray(flow.mask) > 0.5]
+    mot = np.asarray(flow.motion)[np.asarray(flow.mask) > 0.5]
+    n = 5
+    mvec = str(tmp_path / "in.mvec")
+    with open(mvec, "wb") as f:
+        # First frame: I-frame, no MVs (identity estimate expected).
+        write_mvec_frame(f, np.zeros((0, 2)), np.zeros((0, 2)))
+        for _ in range(n - 1):
+            write_mvec_frame(f, pos, mot)
+    gt_path = str(tmp_path / "gt.csv")
+    gtmod.write_ground_truth(gt_path, _gt_rows(np.asarray(q), n))
+
+    config = {
+        "app": "tracking",
+        "decoder": {"input": mvec},
+        "camera_aspect": 1.0,
+        "camera_fov_y": 90.0,
+        "estimators": [
+            {"name": "almeida", "properties": {"num_iters": 64}},
+            {"name": "homography", "enabled": False},
+        ],
+        "ground_truth": gt_path,
+        "output": {
+            "stats_csv_prefix": str(tmp_path / "stats_"),
+            "perf_csv": str(tmp_path / "perf.csv"),
+            "plot_prefix": str(tmp_path / "plot_"),
+        },
+    }
+    res = run_tracking_config(config)
+    assert res.frames == n
+    assert [t.name for t in res.tracks] == ["almeida"]
+    track = res.tracks[0]
+    truth = gtmod.load_ground_truth(gt_path)
+    avg = track.avg_err(truth)
+    # Same 10%-of-rotation class bound as the estimator suite.
+    assert avg[0] < math.radians(0.36) * 0.1, math.degrees(avg[0])
+    # Integrated pose after n frames ~ q^(n-1) (first frame is identity).
+    expect = truth[-1].rot
+    got = track.poses_rot[-1]
+    assert float(quat.angle_to(got, expect)) < math.radians(0.2)
+
+    assert os.path.exists(tmp_path / "stats_almeida.csv")
+    assert os.path.exists(tmp_path / "perf.csv")
+    assert os.path.exists(tmp_path / "plot_almeida.png")
+    header = (tmp_path / "stats_almeida.csv").read_text().splitlines()[0]
+    assert header.split(",")[:4] == ["frame", "delta", "delta_r", "delta_p"]
+
+
+# -- CLI ----------------------------------------------------------------------
+
+
+def test_cli_extract_and_config(tmp_path):
+    from ofps_tpu.apps.cli import main
+    from ofps_tpu.decoders.av import encode_test_video
+    from ofps_tpu.decoders.flo import read_flo
+
+    clip = str(tmp_path / "clip.avi")
+    encode_test_video(clip, 160, 120, frames=8, gop=30, dx=1.0, dy=0.0)
+
+    mvec = str(tmp_path / "out.mvec")
+    assert main(["motion-extract", clip, mvec]) == 0
+    assert os.path.getsize(mvec) > 0
+
+    flodir = str(tmp_path / "flo")
+    assert main(["flow-extract", mvec, flodir, "--width", "40", "--height", "30"]) == 0
+    flo = read_flo(os.path.join(flodir, "000001.flo"))
+    assert flo.shape == (30, 40, 2)
+    assert np.all(np.isfinite(flo))
+    # Hole-filled + blurred field should carry the ~+1px/frame motion
+    # (1/160 normalized * 40 cells wide = 0.25 cell units).
+    assert abs(np.median(flo[..., 0]) - 0.25) < 0.15
+
+    cfg = {
+        "app": "detection",
+        "decoder": {"input": mvec},
+        "detector": {"name": "block_motion", "properties": {"target_motion": 0.004}},
+        "settings": {"max_frame_gap": 2, "min_frames": 1},
+        "output": {"ranges_csv": str(tmp_path / "r.csv")},
+    }
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    assert main(["run-config", cfg_path]) == 0
+    assert os.path.exists(tmp_path / "r.csv")
+
+    assert main(["info"]) == 0
+
+
+# -- viz ----------------------------------------------------------------------
+
+
+def test_flow_to_rgba():
+    from ofps_tpu.apps.viz import flow_to_rgba, overlay
+
+    field = np.zeros((4, 6, 2), np.float32)
+    field[1, 1] = [1.0, 0.0]
+    field[2, 3] = [0.0, -0.5]
+    rgba = flow_to_rgba(field)
+    assert rgba.shape == (4, 6, 4) and rgba.dtype == np.uint8
+    assert rgba[0, 0, 3] == 0  # zero motion -> transparent
+    assert rgba[1, 1, 3] == 255  # |m|=1 -> saturated alpha
+    # Distinct directions -> distinct hues.
+    assert not np.array_equal(rgba[1, 1, :3], rgba[2, 3, :3])
+
+    frame = np.full((16, 24, 4), 64, np.uint8)
+    out = overlay(frame, rgba)
+    assert out.shape == (16, 24, 4)
+    assert not np.array_equal(out, frame)  # overlay applied
