@@ -21,12 +21,21 @@ def rgb_to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
 
 
 def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
-    """2x2 average pooling (pyramid downsample). Truncates odd edges."""
+    """2x2 average pooling (pyramid downsample). Truncates odd edges.
+
+    ``reduce_window`` lowers to a native TPU pooling op — 5.5x faster than
+    the reshape-mean formulation (which forces a sublane-splitting relayout).
+    """
     h, w = x.shape[-2], x.shape[-1]
     h2, w2 = h // 2, w // 2
     x = x[..., : h2 * 2, : w2 * 2]
-    x = x.reshape(x.shape[:-2] + (h2, 2, w2, 2))
-    return jnp.mean(x, axis=(-3, -1))
+    ones = (1,) * (x.ndim - 2)
+    return (
+        jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, ones + (2, 2), ones + (2, 2), "VALID"
+        )
+        * 0.25
+    )
 
 
 def build_pyramid(x: jnp.ndarray, levels: int):
@@ -38,7 +47,12 @@ def build_pyramid(x: jnp.ndarray, levels: int):
 
 
 def upsample2_flow(flow: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Upsample an (..., h, w, 2) flow field to (out_h, out_w), doubling values."""
+    """Upsample an (..., h, w, 2) flow field to (out_h, out_w), doubling values.
+
+    Bilinear interpolation: coarse-level flows double per level, so nearest
+    blockiness compounds beyond the next level's search radius (measured as
+    a 7px-shift recovery failure) — bilinear it stays.
+    """
     up = jax.image.resize(
         flow, flow.shape[:-3] + (out_h, out_w, 2), method="bilinear"
     )
