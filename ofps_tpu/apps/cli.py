@@ -123,6 +123,18 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    from ofps_tpu.apps.stats import summarize_stats_dir
+
+    rows = summarize_stats_dir(args.stats_dir, args.out)
+    for r in rows:
+        print(
+            f"{r['estimator']}: avg err {r['avg_error_deg']:.4f} deg "
+            f"over {r['frames']} frames"
+        )
+    return 0
+
+
 def cmd_bench(args) -> int:
     sys.argv = ["bench.py"] + (args.rest or [])
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -161,6 +173,11 @@ def main(argv=None) -> int:
 
     info = sub.add_parser("info", help="list registered plugins")
     info.set_defaults(fn=cmd_info)
+
+    st = sub.add_parser("stats", help="summarize exported stats CSVs")
+    st.add_argument("stats_dir")
+    st.add_argument("--out", default=None)
+    st.set_defaults(fn=cmd_stats)
 
     be = sub.add_parser("bench", help="run the repo benchmark")
     be.add_argument("rest", nargs=argparse.REMAINDER)

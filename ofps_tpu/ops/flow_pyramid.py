@@ -58,7 +58,10 @@ def _warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 
 class FlowParams(NamedTuple):
     levels: int = 5
-    search: int = 2  # per-level search radius -> (2R+1)^2 candidates
+    # Mid-level search radius: 1 (9 candidates) measures within noise of 2
+    # (25 candidates) on the shift/rotation suites — the pyramid, not the
+    # radius, carries large motions — at ~2.8x less candidate work.
+    search: int = 1
     win: int = 5  # aggregation window (cv-decoder winsize, lib.rs:160)
     coarse_search: int = 6  # wider search at the coarsest level (large motion)
     min_level_size: int = 16  # clamp pyramid depth so levels stay meaningful
@@ -169,6 +172,57 @@ def dense_flow(
     levels = effective_levels(params, i1.shape[-2], i1.shape[-1])
     pyr1 = build_pyramid(i1, levels)
     pyr2 = build_pyramid(i2, levels)
+    on_tpu = jax.default_backend() == "tpu"
+
+    def level_search(lvl):
+        if lvl == levels - 1:
+            return params.coarse_search
+        if lvl == 0 and levels > 1:
+            return params.fine_search
+        return params.search
+
+    if on_tpu:
+        # Fused-kernel path: flow carried as split (u, v) components — the
+        # trailing-dim-2 layout forces relayouts between pallas calls.
+        from ofps_tpu.ops.image import resize_bilinear_matmul
+        from ofps_tpu.pallas.flow_refine import flow_refine_uv
+
+        u = v = None
+        if init_flow is not None:
+            h, w = pyr1[-1].shape[-2], pyr1[-1].shape[-1]
+            scale = h / i1.shape[-2]
+            u = resize_bilinear_matmul(init_flow[..., 0], h, w) * scale
+            v = resize_bilinear_matmul(init_flow[..., 1], h, w) * scale
+
+        for lvl in range(levels - 1, -1, -1):
+            a, b = pyr1[lvl], pyr2[lvl]
+            h, w = a.shape[-2], a.shape[-1]
+            search = level_search(lvl)
+            fused = h * w >= 512 * 512
+            if u is None:
+                shp = a.shape[:-2] + (
+                    ((h + 1) // 2, (w + 1) // 2) if fused else (h, w)
+                )
+                u = jnp.zeros(shp, jnp.float32)
+                v = jnp.zeros(shp, jnp.float32)
+            coarse = u.shape[-2] != h or u.shape[-1] != w
+            if fused:
+                # Coarse flow feeds the kernel directly: the 2x upsample
+                # happens in VMEM (no standalone upsample pass).
+                u, v = flow_refine_uv(
+                    a, b, u, v, search, params.win, coarse_flow=coarse
+                )
+            else:
+                if coarse:
+                    u = resize_bilinear_matmul(u, h, w) * 2.0
+                    v = resize_bilinear_matmul(v, h, w) * 2.0
+                flow = jnp.stack([u, v], axis=-1)
+                warped = _warp(b, flow)
+                flow = flow + _level_refine(
+                    a, warped, search, params.win, params.cost_dtype
+                )
+                u, v = flow[..., 0], flow[..., 1]
+        return jnp.stack([u, v], axis=-1)
 
     flow = None
     if init_flow is not None:
@@ -185,12 +239,7 @@ def dense_flow(
     for lvl in range(levels - 1, -1, -1):
         a, b = pyr1[lvl], pyr2[lvl]
         h, w = a.shape[-2], a.shape[-1]
-        if lvl == levels - 1:
-            search = params.coarse_search
-        elif lvl == 0 and levels > 1:
-            search = params.fine_search
-        else:
-            search = params.search
+        search = level_search(lvl)
         if flow is None:
             flow = jnp.zeros(a.shape + (2,), jnp.float32)
         elif flow.shape[-3] != h or flow.shape[-2] != w:

@@ -1,0 +1,574 @@
+"""Fused Pallas TPU kernel: one pyramid-level flow refinement in VMEM.
+
+Replaces three HBM-bound XLA passes of the coarse-to-fine loop —
+bilinear warp, candidate cost sweep, argmin + subpixel — with ONE kernel
+that keeps every intermediate (warped tile, per-candidate costs) in VMEM:
+
+* per-block **mean flow offsets are scalar-prefetched** (computed by a tiny
+  XLA pooling pass), so every block's source DMAs are known ahead of time
+  and **double-buffered across grid steps** — block k+1's i1/i2 tiles stream
+  in while block k computes (the naive wait-per-block version ran 37 ms per
+  8x1080p batch, pure DMA latency; pipelined it is ~3 ms);
+* the **i2 tile** DMA uses 8-aligned dynamic rows and 128-aligned dynamic
+  columns; an iota-comparison **one-hot matmul on the MXU** collapses the
+  column-alignment slack (gather-free dynamic shift, as in
+  :mod:`ofps_tpu.pallas.warp`);
+* the block is **warped in VMEM** by separable triangle-weight residual
+  taps, extended by ``r + s`` halo pixels so box-filtered costs are exact
+  except for the flow's edge extension at block seams;
+* all ``(2s+1)^2`` candidate costs stay in VMEM: running (min, argmin)
+  sweep, then indicator-selected parabola neighbors for the subpixel fit —
+  the same math as ``ops.flow_pyramid._level_refine`` (f32 costs).
+
+The batch grid dimension is marked ``parallel`` (megacore splits streams
+across TensorCores); the DMA chain restarts at each stream's first block.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RES = 7  # max per-pixel warp residual from the block-mean flow (pixels)
+_PAD = RES + 1
+_COL_PAD = 128  # left/right padding; absorbs block-mean column offsets
+_ROW_PAD = 72  # top/bottom padding of i2; absorbs block-mean row offsets
+_BIG = 1e10
+
+
+def _tri(x):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+
+
+def _edge_extend(a, top, bottom, left, right):
+    """Edge-replicate a 2-D VMEM tile (concat of slices — Mosaic-friendly)."""
+    if top or bottom:
+        rows = [a[:1]] * top + [a] + [a[-1:]] * bottom
+        a = jnp.concatenate(rows, axis=0) if len(rows) > 1 else a
+    if left or right:
+        cols = [a[:, :1]] * left + [a] + [a[:, -1:]] * right
+        a = jnp.concatenate(cols, axis=1) if len(cols) > 1 else a
+    return a
+
+
+def _refine_kernel(
+    mu_ref,  # scalar-prefetch: (nb, GH*GW) int32 block-mean u
+    mv_ref,  # scalar-prefetch: (nb, GH*GW) int32 block-mean v
+    i1_hbm,
+    i2_hbm,
+    u_ref,
+    v_ref,
+    ou_ref,
+    ov_ref,
+    s1,
+    sem1,
+    s2,
+    sem2,
+    *up_scratch,
+    bh,
+    bw,
+    r,
+    s,
+    gw_blocks,
+    gh_blocks,
+    h2p,
+    w2p,
+    himg,
+    wimg,
+    t2h,
+    t2w,
+    up=False,
+    wcp=0,
+    hcp=0,
+    tch=0,
+    tcw=0,
+    img_dtype=jnp.float32,
+):
+    b = pl.program_id(0)
+    bi = pl.program_id(1)
+    bj = pl.program_id(2)
+    t = bi * gw_blocks + bj
+    nblocks = gh_blocks * gw_blocks
+
+    hs = r + s
+    t1h = bh + 16
+    t1w = bw + 2 * _COL_PAD
+    if up:
+        scu, scv, semc = up_scratch
+
+    def i2_base(tt):
+        """(base_row, base_col) of block tt's i2 DMA, from prefetched means.
+
+        Means arrive as TWO flat (nb, nblocks) operands: a trailing dim of 2
+        would be lane-padded to 128 in SMEM and blow the 1 MB budget, and the
+        interleaving stack+reshape itself cost ~30 ms on sub-tile arrays.
+        """
+        ii = tt // gw_blocks
+        jj = tt % gw_blocks
+        mu = mu_ref[b, tt]
+        mv = mv_ref[b, tt]
+        top = ii * bh + _ROW_PAD
+        left = jj * bw + _COL_PAD
+        want_row = jnp.clip(top + mv - (_PAD + hs), 0, h2p - t2h)
+        base_row = pl.multiple_of((want_row // 8) * 8, 8)
+        want_col = jnp.clip(left + mu - (_PAD + hs), 0, w2p - t2w)
+        base_col = pl.multiple_of((want_col // 128) * 128, 128)
+        return base_row, base_col
+
+    def coarse_base(tt):
+        """Aligned DMA origin for the coarse-flow tiles (up mode)."""
+        ii = tt // gw_blocks
+        jj = tt % gw_blocks
+        row = ii * (bh // 2)  # top pad 8 cancels the -8 halo start
+        want_col = jj * (bw // 2) + _COL_PAD - 16
+        col = jnp.clip((want_col // 128) * 128, 0, wcp - tcw)
+        return row, pl.multiple_of(col, 128)
+
+    def all_dmas(tt, slot):
+        ii = tt // gw_blocks
+        jj = tt % gw_blocks
+        out = [
+            pltpu.make_async_copy(
+                i1_hbm.at[b, pl.ds(ii * bh, t1h), pl.ds(jj * bw, t1w)],
+                s1.at[slot],
+                sem1.at[slot],
+            )
+        ]
+        base_row, base_col = i2_base(tt)
+        out.append(
+            pltpu.make_async_copy(
+                i2_hbm.at[b, pl.ds(base_row, t2h), pl.ds(base_col, t2w)],
+                s2.at[slot],
+                sem2.at[slot],
+            )
+        )
+        if up:
+            crow, ccol = coarse_base(tt)
+            out.append(
+                pltpu.make_async_copy(
+                    u_ref.at[b, pl.ds(crow, tch), pl.ds(ccol, tcw)],
+                    scu.at[slot],
+                    semc.at[slot, 0],
+                )
+            )
+            out.append(
+                pltpu.make_async_copy(
+                    v_ref.at[b, pl.ds(crow, tch), pl.ds(ccol, tcw)],
+                    scv.at[slot],
+                    semc.at[slot, 1],
+                )
+            )
+        return out
+
+    def start_dmas(tt, slot):
+        for d in all_dmas(tt, slot):
+            d.start()
+
+    def wait_dmas(tt, slot):
+        for d in all_dmas(tt, slot):
+            d.wait()
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        start_dmas(t, slot)
+
+    @pl.when(t + 1 < nblocks)
+    def _():
+        start_dmas(t + 1, 1 - slot)
+
+    wait_dmas(t, slot)
+
+    if not up:
+        u = u_ref[0]
+        v = v_ref[0]
+    base_row, base_col = i2_base(t)
+    block_top = bi * bh + _ROW_PAD
+    block_left = bj * bw + _COL_PAD
+    dy0 = (block_top - base_row).astype(jnp.float32)
+    dx0 = (block_left - base_col).astype(jnp.float32)
+
+    ew = bw + 2 * hs
+    eh = bh + 2 * hs
+    ncol = ew + 2 * _PAD
+
+    if up:
+        # In-kernel 2x bilinear upsample of the coarse-flow tiles: banded
+        # interpolation matrices built from iotas (the dynamic column offset
+        # absorbs the 128-alignment slack), applied column-first on the MXU.
+        # Kills the standalone XLA upsample pass AND the fine-flow reads.
+        crow, ccol = coarse_base(t)
+        delta = (bj * (bw // 2) + _COL_PAD - ccol).astype(jnp.float32)
+        a_i = jax.lax.broadcasted_iota(jnp.int32, (tcw, ew), 0).astype(
+            jnp.float32
+        )
+        p_i = jax.lax.broadcasted_iota(jnp.int32, (tcw, ew), 1).astype(
+            jnp.float32
+        )
+        cmat = _tri(a_i - (0.5 * (p_i - hs) - 0.25 + delta))
+        q_i = jax.lax.broadcasted_iota(jnp.int32, (eh, tch), 0).astype(
+            jnp.float32
+        )
+        a2_i = jax.lax.broadcasted_iota(jnp.int32, (eh, tch), 1).astype(
+            jnp.float32
+        )
+        rmat = _tri(a2_i - (0.5 * (q_i - hs) - 0.25 + 8.0))
+
+        def upsample(sc):
+            tmp = jnp.dot(sc[slot], cmat, preferred_element_type=jnp.float32)
+            return 2.0 * jnp.dot(rmat, tmp, preferred_element_type=jnp.float32)
+
+        u_ext = upsample(scu)  # (eh, ew)
+        v_full = upsample(scv)
+        u = u_ext[hs : hs + bh, hs : hs + bw]
+        v = v_full[hs : hs + bh, hs : hs + bw]
+        v_ext = _edge_extend(v_full, 0, 0, _PAD, _PAD)  # (eh, ncol)
+    else:
+        # Flow extended to the halo by edge replication (exact inside the
+        # block; the approximation at block seams is bounded by the
+        # box-filter radius).
+        u_ext = _edge_extend(u, hs, hs, hs, hs)  # (eh, ew)
+        v_ext = _edge_extend(v, hs, hs, hs + _PAD, hs + _PAD)  # (eh, ncol)
+
+    # Collapse the 128-aligned column slack with a one-hot MXU matmul:
+    # tile2[y, c] = s2[y, col_shift + c]; column c is block-frame image
+    # x = c - hs - _PAD.  (pltpu.roll with a *dynamic* shift lowers to a
+    # per-offset select chain and was ~6x slower than this matmul.)
+    col_shift = jnp.round(dx0).astype(jnp.int32) - (_PAD + hs)
+    col_src = jax.lax.broadcasted_iota(jnp.int32, (t2w, ncol), 0)
+    col_dst = jax.lax.broadcasted_iota(jnp.int32, (t2w, ncol), 1)
+    shift_mat = (col_src == col_dst + col_shift).astype(img_dtype)
+    tile2 = jnp.dot(
+        s2[slot], shift_mat, preferred_element_type=jnp.float32
+    ).astype(img_dtype)
+
+    # ---- warp in VMEM: separable triangle taps ---------------------------
+    # Image-path math runs in img_dtype.  (bf16 measured *slower* on v5e:
+    # the VPU has 32-bit lanes, so bf16 only halves DMA bytes while adding
+    # conversion ops; f32 stays the default.)
+    vv = jnp.clip(dy0 - hs + v_ext, 0.0, float(t2h - eh - 1))
+    c = jnp.zeros((eh, ncol), img_dtype)
+    for i in range(t2h - eh):
+        c = c + _tri(vv - i).astype(img_dtype) * tile2[i : i + eh, :]
+
+    uu = jnp.clip(_PAD + u_ext, 0.0, float(ncol - ew - 1))
+    warped = jnp.zeros((eh, ew), img_dtype)
+    for j in range(ncol - ew):
+        warped = warped + _tri(uu - j).astype(img_dtype) * c[:, j : j + ew]
+
+    # i1 with r halo: static in-tile offsets (rows: 8 - r; cols: 128 - r).
+    i1t = s1[
+        slot, 8 - r : 8 - r + bh + 2 * r, _COL_PAD - r : _COL_PAD - r + bw + 2 * r
+    ]
+
+    # ---- candidate cost sweep (math of _level_refine) --------------------
+    ys = bi * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+    xs = bj * bw + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+    side = 2 * s + 1
+    inv_area = 1.0 / float((2 * r + 1) ** 2)
+
+    costs = []
+    for dy in range(-s, s + 1):
+        for dx in range(-s, s + 1):
+            wsh = warped[
+                hs + dy - r : hs + dy + bh + r, hs + dx - r : hs + dx + bw + r
+            ]
+            diff = jnp.abs(i1t - wsh)
+            acc = jnp.zeros((bh, bw + 2 * r), img_dtype)
+            for tt in range(2 * r + 1):
+                acc = acc + diff[tt : tt + bh, :]
+            cost = jnp.zeros((bh, bw), img_dtype)
+            for tt in range(2 * r + 1):
+                cost = cost + acc[:, tt : tt + bw]
+            # Back to f32 before masks: Mosaic cannot relayout the i1
+            # masks between 16-bit (bf16 compare) and 32-bit (int/f32) data.
+            cost = cost.astype(jnp.float32) * inv_area
+            oob = (
+                (xs + dx < 0)
+                | (xs + dx > wimg - 1)
+                | (ys + dy < 0)
+                | (ys + dy > himg - 1)
+            )
+            costs.append(jnp.where(oob, _BIG, cost))
+
+    # Track (bx, by) directly — vectorized integer div/mod has no TPU lane
+    # support and made the select stage ~8x slower than the whole rest.
+    best_c = costs[0]
+    bx = jnp.full((bh, bw), -s, jnp.int32)
+    by = jnp.full((bh, bw), -s, jnp.int32)
+    i = 0
+    for dy in range(-s, s + 1):
+        for dx in range(-s, s + 1):
+            if i > 0:
+                take = costs[i] < best_c
+                best_c = jnp.where(take, costs[i], best_c)
+                bx = jnp.where(take, dx, bx)
+                by = jnp.where(take, dy, by)
+            i += 1
+    bxm = jnp.maximum(bx - 1, -s)
+    bxp = jnp.minimum(bx + 1, s)
+    bym = jnp.maximum(by - 1, -s)
+    byp = jnp.minimum(by + 1, s)
+
+    zero = jnp.zeros((bh, bw), jnp.float32)
+    c0, cxm, cxp, cym, cyp = zero, zero, zero, zero, zero
+    idx = 0
+    for dy in range(-s, s + 1):
+        for dx in range(-s, s + 1):
+            cc = costs[idx]
+            idx += 1
+            on_y = by == dy
+            c0 = c0 + jnp.where((bx == dx) & on_y, cc, 0.0)
+            cxm = cxm + jnp.where((bxm == dx) & on_y, cc, 0.0)
+            cxp = cxp + jnp.where((bxp == dx) & on_y, cc, 0.0)
+            cym = cym + jnp.where((bx == dx) & (bym == dy), cc, 0.0)
+            cyp = cyp + jnp.where((bx == dx) & (byp == dy), cc, 0.0)
+
+    def parabola(cm, cc, cp, at_edge):
+        denom = cm - 2.0 * cc + cp
+        off = jnp.where(
+            jnp.abs(denom) > 1e-12,
+            0.5
+            * (cm - cp)
+            / jnp.maximum(jnp.abs(denom), 1e-12)
+            * jnp.sign(denom),
+            0.0,
+        )
+        off = jnp.clip(off, -0.5, 0.5)
+        return jnp.where(at_edge, 0.0, off)
+
+    sub_x = parabola(cxm, c0, cxp, jnp.abs(bx) == s)
+    sub_y = parabola(cym, c0, cyp, jnp.abs(by) == s)
+
+    ou_ref[0] = u + bx.astype(jnp.float32) + sub_x
+    ov_ref[0] = v + by.astype(jnp.float32) + sub_y
+
+
+def _pick_block(n: int, candidates) -> int:
+    """Largest block whose padding stays within ~10% of n.
+
+    Bigger blocks amortize per-block grid/DMA overhead (the dominant cost at
+    small block sizes), so padding waste up to 10% is the better trade.
+    """
+    budget = max(8, n // 10)
+    for c in candidates:  # candidates ordered large -> small
+        if (-n) % c <= budget:
+            return c
+    return candidates[-1]
+
+
+def flow_refine_uv(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    search: int,
+    win: int,
+    bh: int = 0,
+    bw: int = 0,
+    interpret: bool = False,
+    coarse_flow: bool = False,
+    img_dtype=jnp.float32,
+):
+    """Fused warp + refine of one pyramid level on split flow components.
+
+    ``i1``/``i2``: (..., H, W) float32.  ``u``/``v``: same resolution, or
+    HALF resolution with ``coarse_flow=True`` — then the kernel performs the
+    2x bilinear upsample in VMEM (banded-matmul interpolation), eliminating
+    the inter-level upsample pass entirely.  Returns updated full-resolution
+    ``(u, v)``.  The split representation avoids the trailing-dim-2
+    stack/split relayouts that dominated the packed-flow wrapper.  Pads H/W
+    up to block multiples internally (edge mode) and slices back.
+    """
+    r = win // 2
+    h, w = i1.shape[-2], i1.shape[-1]
+    if not bh:
+        bh = _pick_block(h, (64, 32, 16, 8))
+    if not bw:
+        bw = _pick_block(w, (640, 512, 384, 256, 128))
+    if coarse_flow:
+        bh = max(bh, 16)  # bh // 2 must stay 8-row aligned for coarse DMAs
+    ph = (-h) % bh
+    pw = (-w) % bw
+    batch = i1.shape[:-2]
+
+    def pad2(x):
+        pads = [(0, 0)] * (x.ndim - 2) + [(0, ph), (0, pw)]
+        return jnp.pad(x, pads, mode="edge") if (ph or pw) else x
+
+    i1p = pad2(i1.astype(img_dtype)).reshape((-1, h + ph, w + pw))
+    i2p = pad2(i2.astype(img_dtype)).reshape((-1, h + ph, w + pw))
+    hp, wp = h + ph, w + pw
+    nb = i1p.shape[0]
+    gh_blocks = hp // bh
+    gw_blocks = wp // bw
+
+    def block_mean(x, wh, ww):
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, wh, ww), (1, wh, ww), "VALID"
+        ) * (1.0 / (wh * ww))
+
+    if coarse_flow:
+        # u, v arrive at HALF resolution; the kernel upsamples per block.
+        hc, wc = hp // 2, wp // 2
+        phc = hc - u.shape[-2]
+        pwc = wc - u.shape[-1]
+        assert phc >= 0 and pwc >= 0, (u.shape, (hc, wc))
+
+        def padc(x):
+            pads = [(0, 0)] * (x.ndim - 2) + [(0, phc), (0, pwc)]
+            return (
+                jnp.pad(x, pads, mode="edge") if (phc or pwc) else x
+            ).reshape((-1, hc, wc))
+
+        us = padc(u)
+        vs = padc(v)
+        # Block means from the coarse arrays (quarter-cost), x2 value scale.
+        means_u = (
+            jnp.round(2.0 * block_mean(us, bh // 2, bw // 2))
+            .astype(jnp.int32)
+            .reshape(nb, -1)
+        )
+        means_v = (
+            jnp.round(2.0 * block_mean(vs, bh // 2, bw // 2))
+            .astype(jnp.int32)
+            .reshape(nb, -1)
+        )
+        # DMA padding: 8 rows top/bottom, 128 cols left + align right.
+        wcp = wc + 2 * _COL_PAD
+        wcp += (-wcp) % 128
+        us = jnp.pad(us, [(0, 0), (8, 8), (_COL_PAD, wcp - wc - _COL_PAD)])
+        vs = jnp.pad(vs, [(0, 0), (8, 8), (_COL_PAD, wcp - wc - _COL_PAD)])
+        hcp = hc + 16
+        tch = bh // 2 + 16
+        tcw = bw // 2 + 176
+        tcw += (-tcw) % 128
+    else:
+        us = pad2(u).reshape((-1, hp, wp))
+        vs = pad2(v).reshape((-1, hp, wp))
+        # Per-block rounded mean flow, prefetched for DMA addresses.
+        means_u = (
+            jnp.round(block_mean(us, bh, bw)).astype(jnp.int32).reshape(nb, -1)
+        )
+        means_v = (
+            jnp.round(block_mean(vs, bh, bw)).astype(jnp.int32).reshape(nb, -1)
+        )
+        wcp = hcp = tch = tcw = 0
+
+    # i1: 8 rows / 128 cols of edge padding so static block DMAs stay aligned
+    # and in bounds; right pad to a 128 multiple.
+    w1p = wp + 2 * _COL_PAD
+    w1p += (-w1p) % 128
+    i1pad = jnp.pad(
+        i1p, [(0, 0), (8, 8), (_COL_PAD, w1p - wp - _COL_PAD)], mode="edge"
+    )
+
+    # i2: wide padding for flow-mean offsets.
+    w2p = wp + 2 * _COL_PAD
+    w2p += (-w2p) % 128
+    i2pad = jnp.pad(
+        i2p,
+        [(0, 0), (_ROW_PAD, _ROW_PAD), (_COL_PAD, w2p - wp - _COL_PAD)],
+        mode="edge",
+    )
+    h2p = hp + 2 * _ROW_PAD
+
+    t2h = bh + 2 * (_PAD + r + search) + 8
+    t2h += (-t2h) % 8
+    t2w = bw + 2 * (_PAD + r + search) + _COL_PAD
+    t2w += (-t2w) % 128
+
+    kernel = functools.partial(
+        _refine_kernel,
+        bh=bh,
+        bw=bw,
+        r=r,
+        s=search,
+        gw_blocks=gw_blocks,
+        gh_blocks=gh_blocks,
+        h2p=h2p,
+        w2p=w2p,
+        himg=hp,
+        wimg=wp,
+        t2h=t2h,
+        t2w=t2w,
+        img_dtype=img_dtype,
+        up=coarse_flow,
+        wcp=wcp,
+        hcp=hcp,
+        tch=tch,
+        tcw=tcw,
+    )
+    if coarse_flow:
+        uv_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        extra_scratch = [
+            pltpu.VMEM((2, tch, tcw), jnp.float32),
+            pltpu.VMEM((2, tch, tcw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+    else:
+        uv_specs = [
+            pl.BlockSpec((1, bh, bw), lambda b, i, j, *_: (b, i, j)),
+            pl.BlockSpec((1, bh, bw), lambda b, i, j, *_: (b, i, j)),
+        ]
+        extra_scratch = []
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb, gh_blocks, gw_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        + uv_specs,
+        out_specs=[
+            pl.BlockSpec((1, bh, bw), lambda b, i, j, *_: (b, i, j)),
+            pl.BlockSpec((1, bh, bw), lambda b, i, j, *_: (b, i, j)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 16, bw + 2 * _COL_PAD), img_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, t2h, t2w), img_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        + extra_scratch,
+    )
+    fn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((nb, hp, wp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")
+        ),
+        interpret=interpret,
+    )
+    ou, ov = fn(means_u, means_v, i1pad, i2pad, us, vs)
+    shape = batch + (h, w)
+    return ou[:, :h, :w].reshape(shape), ov[:, :h, :w].reshape(shape)
+
+
+def flow_refine_tpu(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    flow: jnp.ndarray,
+    search: int,
+    win: int,
+    bh: int = 0,
+    bw: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Packed-flow convenience wrapper: (..., H, W, 2) in and out."""
+    u, v = flow_refine_uv(
+        i1, i2, flow[..., 0], flow[..., 1], search, win, bh, bw, interpret
+    )
+    return jnp.stack([u, v], axis=-1)

@@ -277,6 +277,29 @@ def test_cli_extract_and_config(tmp_path):
     assert main(["info"]) == 0
 
 
+# -- stats aggregation --------------------------------------------------------
+
+
+def test_stats_summary(tmp_path):
+    from ofps_tpu.apps.stats import summarize_stats_dir
+
+    (tmp_path / "stats_almeida.csv").write_text(
+        "frame,delta,delta_r,delta_p,delta_y,r,p,y,error,error_r,error_p,error_y\n"
+        "0,0.01,0,0,0.01,0,0,0.01,0.002,0.001,0.0,0.001\n"
+        "1,0.01,0,0,0.01,0,0,0.02,0.004,0.002,0.0,0.002\n"
+    )
+    (tmp_path / "perf.csv").write_text(
+        "frame,decode,estimate\n0,1.0,5.0\n1,3.0,7.0\n"
+    )
+    out = tmp_path / "summary.csv"
+    rows = summarize_stats_dir(str(tmp_path), str(out))
+    assert len(rows) == 1 and rows[0]["estimator"] == "almeida"
+    assert rows[0]["avg_error_deg"] == pytest.approx(math.degrees(0.003))
+    assert rows[0]["avg_decode_ms"] == pytest.approx(2.0)
+    assert rows[0]["avg_estimate_ms"] == pytest.approx(6.0)
+    assert out.exists() and "almeida" in out.read_text()
+
+
 # -- viz ----------------------------------------------------------------------
 
 
