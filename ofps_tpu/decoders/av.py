@@ -53,8 +53,8 @@ def _load_native():
         ctypes.c_char_p,
         ctypes.c_int,
     ]
-    lib.ofps_av_encode_test.restype = ctypes.c_int
-    lib.ofps_av_encode_test.argtypes = [
+    lib.ofps_av_encode_test_ex.restype = ctypes.c_int
+    lib.ofps_av_encode_test_ex.argtypes = [
         ctypes.c_char_p,
         ctypes.c_int,
         ctypes.c_int,
@@ -62,6 +62,7 @@ def _load_native():
         ctypes.c_int,
         ctypes.c_float,
         ctypes.c_float,
+        ctypes.c_int,
     ]
     _lib = lib
     return lib
@@ -75,11 +76,24 @@ def encode_test_video(
     gop: int = 30,
     dx: float = 2.0,
     dy: float = 0.0,
+    pattern: str = "sine",
 ) -> None:
-    """Write a synthetic MPEG-4 clip (translating sine texture) for tests."""
+    """Write a synthetic MPEG-4 clip (translating texture) for tests.
+
+    ``pattern``: "sine" (periodic — fine for codec-MV tests) or "noise"
+    (aperiodic value noise — required for optical-flow tests, where the
+    periodic sines alias the block-matching search).
+    """
     lib = _load_native()
-    rc = lib.ofps_av_encode_test(
-        path.encode(), width, height, frames, gop, dx, dy
+    rc = lib.ofps_av_encode_test_ex(
+        path.encode(),
+        width,
+        height,
+        frames,
+        gop,
+        dx,
+        dy,
+        1 if pattern == "noise" else 0,
     )
     if rc != 0:
         raise RuntimeError(f"test-clip encoder failed ({rc})")

@@ -79,7 +79,7 @@ def create_decoder(input_path: str, plugin: Optional[str] = None, **kwargs) -> D
 def _load_builtin_decoders():
     import importlib
 
-    for mod in ("mvec", "av"):
+    for mod in ("mvec", "av", "cv"):
         try:
             importlib.import_module(f"ofps_tpu.decoders.{mod}")
         except ImportError:

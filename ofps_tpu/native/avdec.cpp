@@ -197,12 +197,46 @@ int ofps_av_next(void *h, float *out_pos, float *out_mot, int cap, int *out_n,
 }
 
 // ---------------------------------------------------------------------------
-// Test-clip encoder: a smooth 2-D sine texture translating (dx, dy) px/frame,
+// Deterministic smooth value-noise texture (aperiodic — safe for
+// block-matching tests, where a periodic sine pattern aliases).
+static float value_noise(float x, float y) {
+  float acc = 0.0f, amp = 1.0f;
+  for (int oct = 0; oct < 3; oct++) {
+    float scale = 1.0f / (24.0f / (float)(1 << oct));
+    float fx = x * scale, fy = y * scale;
+    int ix = (int)floorf(fx), iy = (int)floorf(fy);
+    float tx = fx - ix, ty = fy - iy;
+    auto hashv = [](int i, int j) {
+      uint32_t n = (uint32_t)(i * 374761393 + j * 668265263);
+      n = (n ^ (n >> 13)) * 1274126177u;
+      return (float)((n ^ (n >> 16)) & 0xffff) / 65535.0f;
+    };
+    float v00 = hashv(ix, iy), v10 = hashv(ix + 1, iy);
+    float v01 = hashv(ix, iy + 1), v11 = hashv(ix + 1, iy + 1);
+    float sx = tx * tx * (3 - 2 * tx), sy = ty * ty * (3 - 2 * ty);
+    float v = v00 + (v10 - v00) * sx + (v01 - v00) * sy +
+              (v00 - v10 - v01 + v11) * sx * sy;
+    acc += (v - 0.5f) * amp;
+    amp *= 0.55f;
+  }
+  return acc;
+}
+
+// Test-clip encoder: a smooth texture translating (dx, dy) px/frame,
 // MPEG-4 (always built into libavcodec), no B-frames so every inter frame
 // carries forward motion vectors.  Lets tests round-trip codec MVs without
-// video assets.
+// video assets.  pattern: 0 = 2-D sines (periodic), 1 = value noise
+// (aperiodic; use for optical-flow tests).
+int ofps_av_encode_test_ex(const char *path, int w, int h, int nframes,
+                           int gop, float dx, float dy, int pattern);
+
 int ofps_av_encode_test(const char *path, int w, int h, int nframes, int gop,
                         float dx, float dy) {
+  return ofps_av_encode_test_ex(path, w, h, nframes, gop, dx, dy, 0);
+}
+
+int ofps_av_encode_test_ex(const char *path, int w, int h, int nframes,
+                           int gop, float dx, float dy, int pattern) {
   AVFormatContext *fmt = nullptr;
   if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 || !fmt)
     return -1;
@@ -255,9 +289,14 @@ int ofps_av_encode_test(const char *path, int w, int h, int nframes, int gop,
     float ox = dx * t, oy = dy * t;
     for (int y = 0; y < h; y++) {
       for (int x = 0; x < w; x++) {
-        float u = (x - ox) * 0.19f, v = (y - oy) * 0.23f;
-        float val = 128.0f + 55.0f * sinf(u) * cosf(v) +
-                    35.0f * sinf(0.061f * (x - ox) + 0.083f * (y - oy));
+        float val;
+        if (pattern == 1) {
+          val = 128.0f + 180.0f * value_noise(x - ox, y - oy);
+        } else {
+          float u = (x - ox) * 0.19f, v = (y - oy) * 0.23f;
+          val = 128.0f + 55.0f * sinf(u) * cosf(v) +
+                35.0f * sinf(0.061f * (x - ox) + 0.083f * (y - oy));
+        }
         fr->data[0][y * fr->linesize[0] + x] =
             (uint8_t)(val < 0 ? 0 : (val > 255 ? 255 : val));
       }
