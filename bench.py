@@ -45,10 +45,16 @@ def build_runner(batch: int, h: int, w: int, iters: int, params: FlowParams):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the timed run into DIR",
+    )
     args = ap.parse_args()
 
     b, h, w = args.batch, args.height, args.width
@@ -68,9 +74,15 @@ def main() -> None:
     )
     float(jax.device_get(run(i1, i2)))  # compile + warm up
 
-    t0 = time.perf_counter()
-    float(jax.device_get(run(i1, i2)))
-    elapsed = time.perf_counter() - t0
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            t0 = time.perf_counter()
+            float(jax.device_get(run(i1, i2)))
+            elapsed = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        float(jax.device_get(run(i1, i2)))
+        elapsed = time.perf_counter() - t0
 
     fps = b * args.iters / elapsed
     print(

@@ -1,0 +1,117 @@
+"""Multi-stream batch runner: N videos through ONE jitted device step.
+
+The reference processes a single stream at a time (SURVEY.md §2.9 — its
+missing data-parallel axis).  This runner decodes N inputs on host threads
+(1-frame lookahead each) and feeds their motion-vector fields as one
+(B, N, 2) SparseFlow batch into a single :class:`StreamPipeline` step —
+estimators and detector vmapped across streams, optionally sharded over a
+("stream", "space") mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ofps_tpu.core.camera import StandardCamera
+from ofps_tpu.core.motion import SparseFlow
+from ofps_tpu.decoders.base import create_decoder
+from ofps_tpu.detectors.base import create_detector
+from ofps_tpu.estimators.base import create_estimator
+from ofps_tpu.parallel.stream import StreamPipeline
+from ofps_tpu.pipeline.runtime import DecoderFeed, PerfStats
+
+
+@dataclasses.dataclass
+class BatchResult:
+    frames: int  # batched steps executed (= min frame count across streams)
+    streams: int
+    poses_rot: List[np.ndarray]  # per estimator: (B, 4) final integrated
+    poses_pos: List[np.ndarray]
+    detections: Optional[np.ndarray]  # (T, B) bool, if a detector ran
+    perf: PerfStats
+
+    def throughput_fps(self) -> float:
+        s = self.perf.summary().get("step", {})
+        total = s.get("total_ms", 0.0) / 1e3
+        return self.frames * self.streams / total if total else 0.0
+
+
+def run_batch(
+    inputs: List[str],
+    estimators: Optional[List[Dict[str, Any]]] = None,
+    detector: Optional[str] = "block_motion",
+    camera_aspect: float = 16.0 / 9.0,
+    camera_fov_y: float = 90.0,
+    decoder_plugin: Optional[str] = None,
+    capacity: int = 16384,
+    max_frames: Optional[int] = None,
+    seed: int = 0,
+    shardings=None,
+) -> BatchResult:
+    """Run every input stream in lockstep through one batched device step."""
+    ests = [
+        create_estimator(e["name"], **(e.get("properties") or {}))
+        for e in (estimators or [{"name": "almeida"}])
+    ]
+    det = create_detector(detector) if detector else None
+    camera = StandardCamera.create(camera_aspect, camera_fov_y)
+    pipe = StreamPipeline(
+        camera=camera, estimators=ests, detector=det, shardings=shardings
+    )
+    b = len(inputs)
+    state = pipe.init_state(b, 1, 1)
+    step = jax.jit(pipe.step_from_flow)
+
+    feeds = [
+        DecoderFeed(create_decoder(path, decoder_plugin)) for path in inputs
+    ]
+    iters = [iter(f) for f in feeds]
+    perf = PerfStats()
+    key = jax.random.PRNGKey(seed)
+    detections: List[np.ndarray] = []
+    frames = 0
+
+    try:
+        while max_frames is None or frames < max_frames:
+            with perf.time("decode"):
+                batch = []
+                for it in iters:
+                    batch.append(next(it, None))
+                if any(f is None for f in batch):
+                    break
+                flows = [
+                    SparseFlow.from_arrays(f.pos, f.motion, capacity)
+                    for f in batch
+                ]
+                flow = SparseFlow(
+                    jnp.stack([f.pos for f in flows]),
+                    jnp.stack([f.motion for f in flows]),
+                    jnp.stack([f.mask for f in flows]),
+                )
+            with perf.time("step"):
+                key, sub = jax.random.split(key)
+                state, out = step(state, flow, sub)
+                if det is not None:
+                    detections.append(
+                        np.asarray(jax.device_get(out.detection.detected))
+                    )
+                else:
+                    jax.block_until_ready(out.rot)
+            frames += 1
+    finally:
+        for f in feeds:
+            f.stop()
+
+    return BatchResult(
+        frames=frames,
+        streams=b,
+        poses_rot=[np.asarray(jax.device_get(r)) for r in state.rot],
+        poses_pos=[np.asarray(jax.device_get(p)) for p in state.pos],
+        detections=np.stack(detections) if detections else None,
+        perf=perf,
+    )

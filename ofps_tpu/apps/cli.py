@@ -123,6 +123,29 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_run_batch(args) -> int:
+    from ofps_tpu.apps.batch import run_batch
+
+    res = run_batch(
+        args.inputs,
+        estimators=[{"name": n} for n in (args.estimators or "almeida").split(",")],
+        detector=None if args.no_detector else "block_motion",
+        camera_aspect=args.aspect,
+        camera_fov_y=args.fov,
+        max_frames=args.frames,
+    )
+    print(
+        f"{res.streams} streams x {res.frames} frames; "
+        f"device throughput {res.throughput_fps():.1f} stream-frames/s"
+    )
+    for stage, s in res.perf.summary().items():
+        print(f"  {stage}: avg {s['avg_ms']:.2f} ms/batch-step")
+    if res.detections is not None:
+        per_stream = res.detections.sum(axis=0)
+        print(f"  detections per stream: {per_stream.tolist()}")
+    return 0
+
+
 def cmd_stats(args) -> int:
     from ofps_tpu.apps.stats import summarize_stats_dir
 
@@ -173,6 +196,17 @@ def main(argv=None) -> int:
 
     info = sub.add_parser("info", help="list registered plugins")
     info.set_defaults(fn=cmd_info)
+
+    rb = sub.add_parser(
+        "run-batch", help="process N streams in one batched device step"
+    )
+    rb.add_argument("inputs", nargs="+")
+    rb.add_argument("--estimators", default="almeida")
+    rb.add_argument("--no-detector", action="store_true")
+    rb.add_argument("--aspect", type=float, default=16.0 / 9.0)
+    rb.add_argument("--fov", type=float, default=90.0)
+    rb.add_argument("--frames", type=int, default=None)
+    rb.set_defaults(fn=cmd_run_batch)
 
     st = sub.add_parser("stats", help="summarize exported stats CSVs")
     st.add_argument("stats_dir")

@@ -25,6 +25,39 @@ from ofps_tpu.parallel.stream import StreamPipeline
 from ofps_tpu.pipeline.runtime import DecoderFeed, PerfStats, RealtimeTimer
 
 
+class KeyframeKeeper:
+    """Pose-diversity keyframe set (tracking/worker.rs:110-150 semantics).
+
+    When over capacity, evicts the frame whose summed angular distance to
+    its 5 nearest kept poses is smallest (the most redundant view); with
+    two or fewer kept frames, the oldest goes.
+    """
+
+    def __init__(self, max_frames: int = 10):
+        self.max_frames = max_frames
+        self.frames: List[tuple] = []  # (frame_idx, rot wxyz, payload)
+
+    def add(self, frame_idx: int, rot: np.ndarray, payload=None):
+        self.frames.append((frame_idx, np.asarray(rot, np.float64), payload))
+        if len(self.frames) > self.max_frames:
+            self._remove_least_significant()
+
+    def _remove_least_significant(self):
+        if len(self.frames) <= 2:
+            self.frames.pop(0)
+            return
+        best_i, best_d = 0, None
+        for i, (_, rot, _) in enumerate(self.frames):
+            dists = sorted(
+                gtmod._qangle(gtmod.rotation_to(r2, rot))
+                for _, r2, _ in self.frames
+            )
+            d = sum(dists[:5])
+            if best_d is None or d < best_d:
+                best_i, best_d = i, d
+        self.frames.pop(best_i)
+
+
 @dataclasses.dataclass
 class EstimatorTrack:
     """Per-estimator accumulated results (EstimatorState parity)."""
@@ -34,6 +67,7 @@ class EstimatorTrack:
     translations: List[np.ndarray] = dataclasses.field(default_factory=list)
     poses_rot: List[np.ndarray] = dataclasses.field(default_factory=list)
     poses_pos: List[np.ndarray] = dataclasses.field(default_factory=list)
+    keyframes: KeyframeKeeper = dataclasses.field(default_factory=KeyframeKeeper)
 
     def pose_stats(self):
         return gtmod.pose_stats(self.transforms, self.poses_rot)
@@ -109,6 +143,7 @@ def run_tracking(
                 track.translations.append(np.asarray(out.delta_tr[t][0]))
                 track.poses_rot.append(np.asarray(out.rot[t][0]))
                 track.poses_pos.append(np.asarray(out.pos[t][0]))
+                track.keyframes.add(frames, track.poses_rot[-1])
             frames += 1
             timer.tick()
             if max_frames is not None and frames >= max_frames:

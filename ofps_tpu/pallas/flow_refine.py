@@ -242,7 +242,10 @@ def _refine_kernel(
     col_shift = jnp.round(dx0).astype(jnp.int32) - (_PAD + hs)
     col_src = jax.lax.broadcasted_iota(jnp.int32, (t2w, ncol), 0)
     col_dst = jax.lax.broadcasted_iota(jnp.int32, (t2w, ncol), 1)
-    shift_mat = (col_src == col_dst + col_shift).astype(img_dtype)
+    # bf16 matmul inputs (one-hot matrix is exact in bf16; pixel values lose
+    # <0.5/255) with f32 accumulation: ~8x MXU rate vs f32 — this matmul was
+    # ~4.6us of each block's ~20us.
+    shift_mat = (col_src == col_dst + col_shift).astype(jnp.bfloat16)
     tile2 = jnp.dot(
         s2[slot], shift_mat, preferred_element_type=jnp.float32
     ).astype(img_dtype)
@@ -264,7 +267,7 @@ def _refine_kernel(
     # i1 with r halo: static in-tile offsets (rows: 8 - r; cols: 128 - r).
     i1t = s1[
         slot, 8 - r : 8 - r + bh + 2 * r, _COL_PAD - r : _COL_PAD - r + bw + 2 * r
-    ]
+    ].astype(img_dtype)
 
     # ---- candidate cost sweep (math of _level_refine) --------------------
     ys = bi * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
@@ -388,9 +391,9 @@ def flow_refine_uv(
     r = win // 2
     h, w = i1.shape[-2], i1.shape[-1]
     if not bh:
-        bh = _pick_block(h, (64, 32, 16, 8))
+        bh = _pick_block(h, (128, 64, 32, 16, 8))
     if not bw:
-        bw = _pick_block(w, (640, 512, 384, 256, 128))
+        bw = _pick_block(w, (768, 640, 512, 384, 256, 128))
     if coarse_flow:
         bh = max(bh, 16)  # bh // 2 must stay 8-row aligned for coarse DMAs
     ph = (-h) % bh
@@ -401,8 +404,10 @@ def flow_refine_uv(
         pads = [(0, 0)] * (x.ndim - 2) + [(0, ph), (0, pw)]
         return jnp.pad(x, pads, mode="edge") if (ph or pw) else x
 
-    i1p = pad2(i1.astype(img_dtype)).reshape((-1, h + ph, w + pw))
-    i2p = pad2(i2.astype(img_dtype)).reshape((-1, h + ph, w + pw))
+    # Images stored bf16 in HBM: halves the tile-DMA bytes; all in-kernel
+    # math upcasts to img_dtype (pixel quantization <0.5/255).
+    i1p = pad2(i1.astype(jnp.bfloat16)).reshape((-1, h + ph, w + pw))
+    i2p = pad2(i2.astype(jnp.bfloat16)).reshape((-1, h + ph, w + pw))
     hp, wp = h + ph, w + pw
     nb = i1p.shape[0]
     gh_blocks = hp // bh
@@ -533,9 +538,9 @@ def flow_refine_uv(
             pl.BlockSpec((1, bh, bw), lambda b, i, j, *_: (b, i, j)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, bh + 16, bw + 2 * _COL_PAD), img_dtype),
+            pltpu.VMEM((2, bh + 16, bw + 2 * _COL_PAD), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, t2h, t2w), img_dtype),
+            pltpu.VMEM((2, t2h, t2w), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ]
         + extra_scratch,

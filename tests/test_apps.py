@@ -277,6 +277,82 @@ def test_cli_extract_and_config(tmp_path):
     assert main(["info"]) == 0
 
 
+# -- keyframe keeper ------------------------------------------------------------
+
+
+def test_keyframe_keeper_evicts_redundant():
+    from ofps_tpu.apps.tracking import KeyframeKeeper
+
+    kk = KeyframeKeeper(max_frames=4)
+    # Distinct yaws 0/10/20/30 deg, then a near-duplicate of 10 deg: the
+    # duplicate pair is the most redundant; one of them must go.
+    yaws = [0.0, 10.0, 20.0, 30.0, 10.01]
+    for i, y in enumerate(yaws):
+        kk.add(i, np.asarray(euler_deg(0, 0, y)))
+    assert len(kk.frames) == 4
+    kept = sorted(f[0] for f in kk.frames)
+    assert kept in ([0, 2, 3, 4], [0, 1, 2, 3])  # one of the 10-deg pair left
+
+    # Three equidistant poses: the middle one is the most redundant.
+    kk2 = KeyframeKeeper(max_frames=2)
+    for i in range(3):
+        kk2.add(i, np.asarray(euler_deg(0, 0, i * 5.0)))
+    assert [f[0] for f in kk2.frames] == [0, 2]
+
+    # With <= 2 kept frames the oldest goes (worker.rs:111-113).
+    kk3 = KeyframeKeeper(max_frames=1)
+    kk3.add(0, np.asarray(euler_deg(0, 0, 0.0)))
+    kk3.add(1, np.asarray(euler_deg(0, 0, 5.0)))
+    assert [f[0] for f in kk3.frames] == [1]
+
+
+# -- tcp ingestion --------------------------------------------------------------
+
+
+def test_mvec_over_tcp(tmp_path):
+    import socket
+    import threading
+
+    from ofps_tpu.decoders.mvec import write_mvec_frame
+
+    pos = np.random.RandomState(0).rand(8, 2).astype(np.float32)
+    mot = np.random.RandomState(1).rand(8, 2).astype(np.float32) * 0.01
+
+    # Pick a free port.
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    def client():
+        import io, time
+
+        buf = io.BytesIO()
+        for _ in range(3):
+            write_mvec_frame(buf, pos, mot)
+        for _ in range(100):  # wait for the listener
+            try:
+                s = socket.create_connection(("127.0.0.1", port), timeout=0.3)
+                break
+            except OSError:
+                time.sleep(0.05)
+        s.sendall(buf.getvalue())
+        s.close()
+
+    t = threading.Thread(target=client, daemon=True)
+    t.start()
+    # utils.rs open_file parity: tcp://@:port listens and accepts one peer.
+    from ofps_tpu.decoders.base import create_decoder
+
+    d = create_decoder(f"tcp://@:{port}", plugin="mvec")
+    for _ in range(3):
+        f = d.process_frame()
+        np.testing.assert_array_equal(f.pos, pos)
+        np.testing.assert_array_equal(f.motion, mot)
+    assert d.process_frame() is None
+    t.join(timeout=5)
+
+
 # -- stats aggregation --------------------------------------------------------
 
 
