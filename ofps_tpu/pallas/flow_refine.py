@@ -87,6 +87,7 @@ def _refine_kernel(
     tch=0,
     tcw=0,
     img_dtype=jnp.float32,
+    stage=99,  # debug: truncate the kernel after stage N (perf bisection)
 ):
     b = pl.program_id(0)
     bi = pl.program_id(1)
@@ -228,6 +229,10 @@ def _refine_kernel(
         u = u_ext[hs : hs + bh, hs : hs + bw]
         v = v_full[hs : hs + bh, hs : hs + bw]
         v_ext = _edge_extend(v_full, 0, 0, _PAD, _PAD)  # (eh, ncol)
+        if stage <= 1:  # DMA + upsample only
+            ou_ref[0] = u
+            ov_ref[0] = v
+            return
     else:
         # Flow extended to the halo by edge replication (exact inside the
         # block; the approximation at block seams is bounded by the
@@ -250,6 +255,11 @@ def _refine_kernel(
         s2[slot], shift_mat, preferred_element_type=jnp.float32
     ).astype(img_dtype)
 
+    if stage <= 2:  # + column-shift matmul
+        ou_ref[0] = u + tile2[:bh, :bw] * 1e-30
+        ov_ref[0] = v
+        return
+
     # ---- warp in VMEM: separable triangle taps ---------------------------
     # Image-path math runs in img_dtype.  (bf16 measured *slower* on v5e:
     # the VPU has 32-bit lanes, so bf16 only halves DMA bytes while adding
@@ -263,6 +273,11 @@ def _refine_kernel(
     warped = jnp.zeros((eh, ew), img_dtype)
     for j in range(ncol - ew):
         warped = warped + _tri(uu - j).astype(img_dtype) * c[:, j : j + ew]
+
+    if stage <= 3:  # + warp
+        ou_ref[0] = u + warped[hs : hs + bh, hs : hs + bw].astype(jnp.float32) * 1e-30
+        ov_ref[0] = v
+        return
 
     # i1 with r halo: static in-tile offsets (rows: 8 - r; cols: 128 - r).
     i1t = s1[
@@ -298,6 +313,14 @@ def _refine_kernel(
                 | (ys + dy > himg - 1)
             )
             costs.append(jnp.where(oob, _BIG, cost))
+
+    if stage <= 4:  # + candidate costs
+        acc0 = costs[0]
+        for cc in costs[1:]:
+            acc0 = acc0 + cc
+        ou_ref[0] = u + acc0 * 1e-30
+        ov_ref[0] = v
+        return
 
     # Track (bx, by) directly — vectorized integer div/mod has no TPU lane
     # support and made the select stage ~8x slower than the whole rest.
@@ -377,6 +400,7 @@ def flow_refine_uv(
     interpret: bool = False,
     coarse_flow: bool = False,
     img_dtype=jnp.float32,
+    stage: int = 99,
 ):
     """Fused warp + refine of one pyramid level on split flow components.
 
@@ -503,6 +527,7 @@ def flow_refine_uv(
         t2h=t2h,
         t2w=t2w,
         img_dtype=img_dtype,
+        stage=stage,
         up=coarse_flow,
         wcp=wcp,
         hcp=hcp,
