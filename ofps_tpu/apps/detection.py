@@ -79,15 +79,24 @@ def run_detection(
     settings: Optional[DetectionSettings] = None,
     capacity: int = 16384,
     max_frames: Optional[int] = None,
+    overlay_dir: Optional[str] = None,
 ) -> DetectionResultSummary:
-    """Decode a stream and accumulate detected-motion frame ranges."""
+    """Decode a stream and accumulate detected-motion frame ranges.
+
+    ``overlay_dir`` writes an HSV motion overlay PNG per detected frame —
+    the headless equivalent of the suite's live overlay (detection.rs:705).
+    """
     settings = settings or DetectionSettings()
     detector = _create_with_props(create_detector, detector_name, detector_props or {})
     decoder = create_decoder(input_path, decoder_plugin)
+    if overlay_dir:
+        import os
+
+        os.makedirs(overlay_dir, exist_ok=True)
 
     detect = jax.jit(detector.detect)
     res = DetectionResultSummary()
-    feed = DecoderFeed(decoder)
+    feed = DecoderFeed(decoder, want_frames=bool(overlay_dir))
     timer = RealtimeTimer(decoder.get_framerate() if settings.realtime else None)
 
     current: Optional[Tuple[int, int]] = None
@@ -98,6 +107,20 @@ def run_detection(
                 flow = SparseFlow.from_arrays(frame.pos, frame.motion, capacity)
                 out = detect(flow)
                 detected = bool(out.detected) and frame.has_mvs
+            if overlay_dir and detected:
+                import os
+
+                from ofps_tpu.apps.viz import flow_to_rgba, overlay, save_png
+
+                rgba = flow_to_rgba(np.asarray(jax.device_get(out.field)))
+                img = (
+                    overlay(frame.frame, rgba)
+                    if frame.frame is not None
+                    else rgba
+                )
+                save_png(
+                    os.path.join(overlay_dir, f"{res.frames:06}.png"), img
+                )
             i = res.frames
             if detected:
                 current = (current[0], i) if current else (i, i)
@@ -135,6 +158,7 @@ def run_detection_config(config: Dict[str, Any]) -> DetectionResultSummary:
         min_frames=int(s.get("min_frames", 5)),
         realtime=bool(s.get("realtime", False)),
     )
+    out = config.get("output", {})
     res = run_detection(
         dec["input"],
         detector_name=det.get("name", "block_motion"),
@@ -142,8 +166,8 @@ def run_detection_config(config: Dict[str, Any]) -> DetectionResultSummary:
         detector_props=det.get("properties"),
         settings=settings,
         max_frames=config.get("max_frames"),
+        overlay_dir=out.get("overlay_dir"),
     )
-    out = config.get("output", {})
     if out.get("ranges_csv"):
         res.write_ranges_csv(out["ranges_csv"], settings)
     if out.get("perf_csv"):

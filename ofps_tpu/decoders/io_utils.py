@@ -18,10 +18,10 @@ def open_stream(input_path: str) -> BinaryIO:
         if not port_s:
             raise ValueError(f"invalid tcp spec {input_path!r} (need addr:port)")
         port = int(port_s)
-        if addr == "@":
+        if addr.startswith("@"):
             listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
             listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-            listener.bind(("0.0.0.0", port))
+            listener.bind((addr[1:] or "0.0.0.0", port))
             listener.listen(1)
             sock, peer = listener.accept()
             listener.close()
