@@ -169,6 +169,12 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    # RUST_LOG-style env control (README.md:72-75 parity).
+    import logging
+
+    level = os.environ.get("OFPS_LOG", "warning").upper()
+    logging.basicConfig(level=getattr(logging, level, logging.WARNING))
+
     p = argparse.ArgumentParser(prog="ofps-tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

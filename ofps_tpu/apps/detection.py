@@ -172,4 +172,12 @@ def run_detection_config(config: Dict[str, Any]) -> DetectionResultSummary:
         res.write_ranges_csv(out["ranges_csv"], settings)
     if out.get("perf_csv"):
         res.perf.write_csv(out["perf_csv"])
+    if out.get("timeline_png"):
+        from ofps_tpu.apps.viz import plot_detection_timeline
+
+        plot_detection_timeline(
+            out["timeline_png"],
+            res.filtered_ranges(settings.max_frame_gap, settings.min_frames),
+            res.frames,
+        )
     return res

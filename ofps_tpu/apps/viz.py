@@ -78,6 +78,33 @@ def save_png(path: str, rgba: np.ndarray) -> None:
     plt.imsave(path, np.asarray(rgba))
 
 
+def plot_detection_timeline(
+    path: str,
+    ranges,
+    total_frames: int,
+    framerate: Optional[float] = None,
+    title: Optional[str] = None,
+) -> None:
+    """Detected-motion timeline bar chart (detection.rs:595-650 parity)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(10, 1.8))
+    scale = 1.0 / framerate if framerate else 1.0
+    for s, e in ranges:
+        ax.axvspan(s * scale, (e + 1) * scale, color="#c4443c", alpha=0.8)
+    ax.set_xlim(0, total_frames * scale)
+    ax.set_yticks([])
+    ax.set_xlabel("time (s)" if framerate else "frame")
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
 def plot_tracking(
     path: str,
     pose_stats: Sequence,
