@@ -21,6 +21,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow
 
 BASELINE_FPS = 1000.0 / 45.679  # reference OpenCV dense flow, demo.md:85

@@ -84,6 +84,9 @@ def _load_builtin_decoders():
             importlib.import_module(f"ofps_tpu.decoders.{mod}")
         except ImportError:
             pass
+    from ofps_tpu.core.plugins import load_external_plugins
+
+    load_external_plugins()
 
 
 def available_decoders():

@@ -58,6 +58,9 @@ def _load_builtin_detectors():
             importlib.import_module(f"ofps_tpu.detectors.{mod}")
         except ImportError:
             pass
+    from ofps_tpu.core.plugins import load_external_plugins
+
+    load_external_plugins()
 
 
 def available_detectors():

@@ -75,6 +75,9 @@ def _load_builtin_estimators():
             importlib.import_module(f"ofps_tpu.estimators.{mod}")
         except ImportError:
             pass
+    from ofps_tpu.core.plugins import load_external_plugins
+
+    load_external_plugins()
 
 
 def available_estimators():

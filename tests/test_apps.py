@@ -277,6 +277,34 @@ def test_cli_extract_and_config(tmp_path):
     assert main(["info"]) == 0
 
 
+# -- external plugins -----------------------------------------------------------
+
+
+def test_external_plugin_discovery(tmp_path, monkeypatch):
+    """PluginStore parity: OFPS_TPU_PLUGINS modules register components."""
+    (tmp_path / "extplug.py").write_text(
+        "from ofps_tpu.detectors.base import DetectorInstance, register\n"
+        "@register('ext_detector')\n"
+        "def make(**kw):\n"
+        "    return DetectorInstance(name='ext_detector', params=None,"
+        " detect=None)\n"
+    )
+    import sys
+
+    import ofps_tpu.core.plugins as plugmod
+
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setenv("OFPS_TPU_PLUGINS", "extplug")
+    monkeypatch.setattr(plugmod, "_LOADED", False)
+    from ofps_tpu.detectors.base import available_detectors
+
+    assert "ext_detector" in available_detectors()
+    # A broken plugin module must not break discovery.
+    monkeypatch.setenv("OFPS_TPU_PLUGINS", "no_such_module_xyz")
+    monkeypatch.setattr(plugmod, "_LOADED", False)
+    assert "block_motion" in available_detectors()
+
+
 # -- keyframe keeper ------------------------------------------------------------
 
 
