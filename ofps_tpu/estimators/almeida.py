@@ -114,14 +114,21 @@ def solve_ypr_ransac(
     inlier_angle_deg: float,
     num_samples: int,
 ) -> jnp.ndarray:
-    """Batched RANSAC (lib.rs:202-251): all hypotheses evaluated in parallel."""
+    """Batched RANSAC (lib.rs:202-251): all hypotheses evaluated in parallel.
+
+    TPU twist on the reference's 1000-random-sample inlier check: every
+    hypothesis is scored on a shared masked subset (the first
+    ``num_samples`` valid-weighted points), NOT on per-hypothesis gathered
+    subsets — H x S dynamic gathers lower to the scalar core and dominated
+    the estimator; masked dense evaluation is pure VPU work.
+    """
     pos, motion, mask = flow.pos, flow.motion, flow.mask
     n = pos.shape[0]
     num_samples = min(num_samples, n)
     target = math.radians(inlier_angle_deg)
-    k_fit, k_eval = jax.random.split(key)
+    k_fit, _ = jax.random.split(key)
 
-    # Minimal 3-point fits, one per hypothesis.
+    # Minimal 3-point fits, one per hypothesis (small gather: H x 3).
     fit_idx = _sample_indices(k_fit, mask, num_iters, 3)  # (H, 3)
     fit_pos = pos[fit_idx]  # (H, 3, 2)
     fit_mot = motion[fit_idx]
@@ -131,30 +138,28 @@ def solve_ypr_ransac(
         fit_pos, fit_mot, fit_w
     )  # (H, 4)
 
-    # Inlier evaluation on per-hypothesis random subsets (lib.rs:219-239).
-    eval_idx = _sample_indices(k_eval, mask, num_iters, num_samples)  # (H, S)
-    ev_pos = pos[eval_idx]
-    ev_mot = motion[eval_idx]
-    ev_w = mask[eval_idx]
+    # Shared evaluation subset: cap the scored points at num_samples by
+    # zeroing the weights past the cap (deterministic; the reference's
+    # random subset only exists to bound CPU cost).
+    ev_w = mask * (jnp.cumsum(mask) <= num_samples)
 
-    def eval_one(fit_q, p_, m_, w_):
+    def eval_one(fit_q):
         mat = quat.to_matrix4(quat.inverse(fit_q))
-        delta = camera.delta(p_, mat)
-        sample_pt = p_ + delta
-        vec = m_ - delta
+        delta = camera.delta(pos, mat)
+        sample_pt = pos + delta
+        vec = motion - delta
         ang = camera.point_angle(sample_pt)
         cosang = jnp.cos(ang)
         err2 = jnp.sum((vec * cosang) ** 2, axis=-1)
-        inlier = (err2 <= target * target) & (w_ > 0.5)
-        return inlier
+        return (err2 <= target * target) & (ev_w > 0.5)
 
-    inliers = jax.vmap(eval_one)(fits, ev_pos, ev_mot, ev_w)  # (H, S) bool
+    inliers = jax.vmap(eval_one)(fits)  # (H, N) bool
     counts = jnp.sum(inliers, axis=-1)
     best = jnp.argmax(counts)
 
     # Final refit on the winning inlier set (lib.rs:246-250).
     best_w = inliers[best].astype(jnp.float32)
-    refit = solve_ypr_weighted(camera, ev_pos[best], ev_mot[best], best_w)
+    refit = solve_ypr_weighted(camera, pos, motion, best_w)
     return jnp.where(counts[best] >= 3, refit, quat.identity())
 
 
