@@ -63,6 +63,8 @@ def _load_native():
         ctypes.c_float,
         ctypes.c_float,
         ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
     ]
     _lib = lib
     return lib
@@ -77,12 +79,16 @@ def encode_test_video(
     dx: float = 2.0,
     dy: float = 0.0,
     pattern: str = "sine",
+    move_start: int = 0,
+    move_stop: int = 1 << 30,
 ) -> None:
     """Write a synthetic MPEG-4 clip (translating texture) for tests.
 
     ``pattern``: "sine" (periodic — fine for codec-MV tests) or "noise"
     (aperiodic value noise — required for optical-flow tests, where the
     periodic sines alias the block-matching search).
+    ``move_start``/``move_stop`` bound the moving frames (CCTV-style motion
+    events: still -> moving -> still).
     """
     lib = _load_native()
     rc = lib.ofps_av_encode_test_ex(
@@ -94,6 +100,8 @@ def encode_test_video(
         dx,
         dy,
         1 if pattern == "noise" else 0,
+        move_start,
+        move_stop,
     )
     if rc != 0:
         raise RuntimeError(f"test-clip encoder failed ({rc})")

@@ -228,15 +228,20 @@ static float value_noise(float x, float y) {
 // video assets.  pattern: 0 = 2-D sines (periodic), 1 = value noise
 // (aperiodic; use for optical-flow tests).
 int ofps_av_encode_test_ex(const char *path, int w, int h, int nframes,
-                           int gop, float dx, float dy, int pattern);
+                           int gop, float dx, float dy, int pattern,
+                           int move_start, int move_stop);
 
 int ofps_av_encode_test(const char *path, int w, int h, int nframes, int gop,
                         float dx, float dy) {
-  return ofps_av_encode_test_ex(path, w, h, nframes, gop, dx, dy, 0);
+  return ofps_av_encode_test_ex(path, w, h, nframes, gop, dx, dy, 0, 0,
+                                1 << 30);
 }
 
+// move_start/move_stop bound the frames during which the texture translates
+// (CCTV-style motion events: still -> moving -> still).
 int ofps_av_encode_test_ex(const char *path, int w, int h, int nframes,
-                           int gop, float dx, float dy, int pattern) {
+                           int gop, float dx, float dy, int pattern,
+                           int move_start, int move_stop) {
   AVFormatContext *fmt = nullptr;
   if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 || !fmt)
     return -1;
@@ -284,9 +289,13 @@ int ofps_av_encode_test_ex(const char *path, int w, int h, int nframes,
     }
   };
 
+  float ox = 0.0f, oy = 0.0f;
   for (int t = 0; t < nframes; t++) {
     av_frame_make_writable(fr);
-    float ox = dx * t, oy = dy * t;
+    if (t >= move_start && t < move_stop) {
+      ox += dx;
+      oy += dy;
+    }
     for (int y = 0; y < h; y++) {
       for (int x = 0; x < w; x++) {
         float val;

@@ -82,6 +82,27 @@ def test_decoded_flow_feeds_estimator(clip):
     np.testing.assert_allclose(np.asarray(tr), 0.0)
 
 
+def test_motion_event_detection(tmp_path):
+    """CCTV scenario class (report.tex:919): a motion event inside a still
+    clip must come back as one coalesced range with no false positives."""
+    from ofps_tpu.apps.detection import DetectionSettings, run_detection
+    from ofps_tpu.decoders.av import encode_test_video
+
+    path = str(tmp_path / "event.avi")
+    encode_test_video(
+        path, 320, 240, frames=30, gop=60, dx=2.0, dy=0.0,
+        move_start=10, move_stop=20,
+    )
+    res = run_detection(path, settings=DetectionSettings())
+    ranges = res.filtered_ranges(max_frame_gap=3, min_frames=3)
+    assert len(ranges) == 1, ranges
+    s, e = ranges[0]
+    assert 8 <= s <= 12 and 18 <= e <= 22, ranges  # the [10, 20) event
+    # No false positives outside the event (± codec warm-up slack).
+    for rs, re_ in res.motion_ranges:
+        assert rs >= 8 and re_ <= 22, res.motion_ranges
+
+
 def test_mvec_dump_round_trip(clip, tmp_path):
     """motion-extract parity: decode -> .mvec dump -> replay decoder."""
     from ofps_tpu.decoders.mvec import write_mvec_frame
