@@ -71,9 +71,15 @@ def _epipolar_rows(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
 
 
 def _smallest_eigvecs(ata: jnp.ndarray, k: int) -> jnp.ndarray:
-    """k eigenvectors of a symmetric (9,9) matrix with smallest eigenvalues."""
-    _, vecs = jnp.linalg.eigh(ata)  # ascending eigenvalues
-    return vecs[..., :k]  # (9, k)
+    """k eigenvectors of a symmetric (9,9) matrix with smallest eigenvalues.
+
+    Block inverse iteration: batched ``jnp.linalg.eigh`` on small matrices
+    costs ~112 ms per 8192x(9,9) on TPU; this is ~2 ms at equal accuracy
+    on the (near-)singular normal matrices the minimal fits produce.
+    """
+    from ofps_tpu.ops.solve import smallest_eigvecs_inverse_iteration
+
+    return smallest_eigvecs_inverse_iteration(ata, k)
 
 
 def eight_point_fundamental(
@@ -85,8 +91,11 @@ def eight_point_fundamental(
     rows = _epipolar_rows(x1n, x2n) * w[..., None]
     ata = _mm(rows.T, rows)
     f = _smallest_eigvecs(ata, 1)[..., 0].reshape(3, 3)
-    # Rank-2 projection.
-    u, s, vt = jnp.linalg.svd(f)
+    # Rank-2 projection (analytic 3x3 SVD — batched LAPACK-style SVD is
+    # ~37 ms per 8192 on TPU).
+    from ofps_tpu.ops.solve import svd3x3
+
+    u, s, vt = svd3x3(f)
     f = _mm(u * s.at[2].set(0.0)[None, :], vt)
     # Denormalize: x2^T T2^T F T1 x1 = 0.
     f = _mm(_mm(t2.T, f), t1)
@@ -193,7 +202,9 @@ def essential_from_fundamental(f: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
 
 def project_to_essential(e: jnp.ndarray) -> jnp.ndarray:
     """Closest true essential matrix: equal nonzero singular values."""
-    u, s, vt = jnp.linalg.svd(e)
+    from ofps_tpu.ops.solve import svd3x3
+
+    u, s, vt = svd3x3(e)
     sm = (s[..., 0] + s[..., 1]) / 2.0
     s_new = jnp.stack([sm, sm, jnp.zeros_like(sm)], axis=-1)
     return _mm(u * s_new[..., None, :], vt)
@@ -204,7 +215,9 @@ def decompose_essential(e: jnp.ndarray):
 
     Returns (rs (..., 4, 3, 3), ts (..., 4, 3)).
     """
-    u, _, vt = jnp.linalg.svd(e)
+    from ofps_tpu.ops.solve import svd3x3
+
+    u, _, vt = svd3x3(e)
     # Make proper rotations.
     du = jnp.sign(jnp.linalg.det(u))
     dv = jnp.sign(jnp.linalg.det(vt))

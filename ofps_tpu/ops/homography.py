@@ -41,7 +41,9 @@ def dlt_homography(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndar
     )
     rows = jnp.concatenate([rows_a * w[..., None], rows_b * w[..., None]], axis=0)
     ata = _mm(rows.T, rows)
-    _, vecs = jnp.linalg.eigh(ata)
+    from ofps_tpu.ops.solve import smallest_eigvecs_inverse_iteration
+
+    vecs = smallest_eigvecs_inverse_iteration(ata, 1)
     h = vecs[:, 0].reshape(3, 3)
     h = _mm(_mm(jnp.linalg.inv(t2), h), t1)
     # Normalize so h22 ~ 1 where possible (sign/scale canonicalization).
@@ -65,13 +67,15 @@ def decompose_homography(h: jnp.ndarray, k: jnp.ndarray):
     share R, and the reference only consumes R of the min-||t|| solution
     (homography-estimator/src/lib.rs:136-146), so two families suffice.
     """
+    from ofps_tpu.ops.solve import eigh3x3, svd3x3
+
     hn = _mm(_mm(jnp.linalg.inv(k), h), k)
     # Scale so the middle singular value is 1.
-    _, s, _ = jnp.linalg.svd(hn)
+    _, s, _ = svd3x3(hn)
     hn = hn / s[1]
 
     hth = _mm(hn.T, hn)
-    lam, v = jnp.linalg.eigh(hth)  # ascending: s3^2 <= s2^2=1 <= s1^2
+    lam, v = eigh3x3(hth)  # ascending: s3^2 <= s2^2=1 <= s1^2
     s3sq, _, s1sq = lam[0], lam[1], lam[2]
     v3, v2, v1 = v[:, 0], v[:, 1], v[:, 2]
 
@@ -96,7 +100,7 @@ def decompose_homography(h: jnp.ndarray, k: jnp.ndarray):
 
     # Pure-rotation degenerate case: hn is (nearly) orthogonal already.
     degenerate = (s1sq - s3sq) < 1e-5
-    uu, _, vvt = jnp.linalg.svd(hn)
+    uu, _, vvt = svd3x3(hn)
     d = jnp.linalg.det(_mm(uu, vvt))
     r_rot = _mm(uu * jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d])[None, :], vvt)
     zero_t = jnp.zeros(3, h.dtype)
