@@ -11,6 +11,7 @@ estimators and detector vmapped across streams, optionally sharded over a
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -24,6 +25,8 @@ from ofps_tpu.detectors.base import create_detector
 from ofps_tpu.estimators.base import create_estimator
 from ofps_tpu.parallel.stream import StreamPipeline
 from ofps_tpu.pipeline.runtime import DecoderFeed, PerfStats
+
+_LOG = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -53,7 +56,13 @@ def run_batch(
     seed: int = 0,
     shardings=None,
 ) -> BatchResult:
-    """Run every input stream in lockstep through one batched device step."""
+    """Run every input stream in lockstep through one batched device step.
+
+    Lockstep means processing stops at the SHORTEST stream: when any input
+    ends, the remaining frames of longer streams are not processed (a log
+    line reports which stream ended the batch).  Pad inputs to equal length
+    or group them by length to avoid truncation.
+    """
     ests = [
         create_estimator(e["name"], **(e.get("properties") or {}))
         for e in (estimators or [{"name": "almeida"}])
@@ -83,6 +92,16 @@ def run_batch(
                 for it in iters:
                     batch.append(next(it, None))
                 if any(f is None for f in batch):
+                    ended = [
+                        inputs[i] for i, f in enumerate(batch) if f is None
+                    ]
+                    if not all(f is None for f in batch):
+                        _LOG.info(
+                            "run_batch: stream(s) %s ended at frame %d; "
+                            "longer streams are truncated (lockstep batch)",
+                            ended,
+                            frames,
+                        )
                     break
                 flows = [
                     SparseFlow.from_arrays(f.pos, f.motion, capacity)

@@ -106,6 +106,23 @@ def _sample_indices(key, mask: jnp.ndarray, shape_rows: int, k: int):
     return idx  # (shape_rows, k)
 
 
+def uniform_cap_weights(mask: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """Cap valid weights at ``num_samples`` *spatially uniformly*.
+
+    Sparse flows are raster-ordered, so keeping the FIRST num_samples valid
+    points would weight only the top strip of the frame.  Instead keep every
+    (total/num_samples)-th valid point: the cumulative-valid-count ``c``
+    crosses a stride boundary ~num_samples times, spread evenly over the
+    raster order.  (The reference's random subset, lib.rs:226-232, only
+    exists to bound CPU cost; a deterministic uniform subset is unbiased.)
+    Pure elementwise VPU work — no gathers.
+    """
+    c = jnp.cumsum(mask)
+    stride = jnp.maximum(c[-1] / num_samples, 1.0)
+    crosses = jnp.floor(c / stride) > jnp.floor((c - 1.0) / stride)
+    return mask * crosses
+
+
 def solve_ypr_ransac(
     key,
     camera: StandardCamera,
@@ -138,10 +155,7 @@ def solve_ypr_ransac(
         fit_pos, fit_mot, fit_w
     )  # (H, 4)
 
-    # Shared evaluation subset: cap the scored points at num_samples by
-    # zeroing the weights past the cap (deterministic; the reference's
-    # random subset only exists to bound CPU cost).
-    ev_w = mask * (jnp.cumsum(mask) <= num_samples)
+    ev_w = uniform_cap_weights(mask, num_samples)
 
     def eval_one(fit_q):
         mat = quat.to_matrix4(quat.inverse(fit_q))

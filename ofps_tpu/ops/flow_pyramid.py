@@ -34,14 +34,20 @@ from ofps_tpu.ops.image import (
 _BIG = 1e10
 
 
-def _warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+def _warp(img: jnp.ndarray, flow: jnp.ndarray, allow_pallas: bool = True) -> jnp.ndarray:
     """Backend-dispatching warp: Pallas kernel on TPU, XLA gather elsewhere.
 
     Pads to the Pallas block grid (edge mode) and slices back.
+    ``allow_pallas=False`` forces the XLA gather (required under a spatially
+    sharded mesh — Pallas kernels don't partition over the width axis).
     """
     bh, bw = 32, 128
     h, w = img.shape[-2], img.shape[-1]
-    if jax.default_backend() != "tpu" or h + ((-h) % bh) < bh + 24:
+    if (
+        not allow_pallas
+        or jax.default_backend() != "tpu"
+        or h + ((-h) % bh) < bh + 24
+    ):
         return warp_bilinear(img, flow)
     from ofps_tpu.pallas.warp import warp_bilinear_tpu
 
@@ -66,7 +72,13 @@ class FlowParams(NamedTuple):
     coarse_search: int = 6  # wider search at the coarsest level (large motion)
     min_level_size: int = 16  # clamp pyramid depth so levels stay meaningful
     fine_search: int = 1  # radius at the finest level (parent residual < 1px)
-    cost_dtype: Any = jnp.bfloat16  # cost-volume dtype (VPU/HBM halving)
+    cost_dtype: Any = jnp.bfloat16  # |diff| operand dtype (HBM halving);
+    # SAD aggregation always accumulates f32 (argmin-stability)
+    # Fused Pallas kernel path: None = auto (TPU backend only).  Must be
+    # False when the step runs under a spatially-sharded ('space') mesh —
+    # pallas_call has no SPMD partitioning rule for the width axis, so only
+    # the XLA path shards; StreamPipeline sets this automatically.
+    fused: Optional[bool] = None
 
 
 def effective_levels(params: FlowParams, h: int, w: int) -> int:
@@ -95,18 +107,19 @@ def _level_refine(i1, warped, search: int, win: int, cost_dtype=jnp.bfloat16):
     h, w = i1.shape[-2], i1.shape[-1]
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    i1c = i1.astype(cost_dtype)
-    wc = warped.astype(cost_dtype)
-    big = jnp.asarray(_BIG, dtype=cost_dtype)
-
     def cand_cost(dx, dy):
-        diff = jnp.abs(i1c - shift2d(wc, dx, dy, fill=0.0))
-        c = box_filter(diff, win)
+        # The pixel SUBTRACT stays f32 (bf16 operands at ~2^7 magnitude
+        # quantize to ±0.5 gray levels — fatal on low-contrast scenes); the
+        # small |diff| values may round to cost_dtype (bf16: ~0.4% relative),
+        # and the 25-tap SAD aggregation always accumulates in f32 so sums
+        # of ~6e3 magnitude can't flip argmin between near-tied candidates.
+        diff = jnp.abs(i1 - shift2d(warped, dx, dy, fill=0.0))
+        c = box_filter(diff.astype(cost_dtype).astype(jnp.float32), win)
         # Penalize out-of-image samples so borders prefer small shifts.
         oob = (
             (xs + dx < 0) | (xs + dx > w - 1) | (ys + dy < 0) | (ys + dy > h - 1)
         )
-        return jnp.where(oob, big, c)
+        return jnp.where(oob, _BIG, c)
 
     # Pass A: streaming argmin over the candidate sweep.
     best_c = None
@@ -135,7 +148,7 @@ def _level_refine(i1, warped, search: int, win: int, cost_dtype=jnp.bfloat16):
     zero = jnp.zeros(best_c.shape, jnp.float32)
     c0, cxm, cxp, cym, cyp = zero, zero, zero, zero, zero
     for i, (dx, dy) in enumerate(shifts):
-        c = cand_cost(dx, dy).astype(jnp.float32)
+        c = cand_cost(dx, dy)
         on_y = by == dy
         c0 = c0 + jnp.where((bx == dx) & on_y, c, 0.0)
         cxm = cxm + jnp.where((bxm == dx) & on_y, c, 0.0)
@@ -172,7 +185,11 @@ def dense_flow(
     levels = effective_levels(params, i1.shape[-2], i1.shape[-1])
     pyr1 = build_pyramid(i1, levels)
     pyr2 = build_pyramid(i2, levels)
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = (
+        params.fused
+        if params.fused is not None
+        else jax.default_backend() == "tpu"
+    )
 
     def level_search(lvl):
         if lvl == levels - 1:
@@ -217,7 +234,7 @@ def dense_flow(
                     u = resize_bilinear_matmul(u, h, w) * 2.0
                     v = resize_bilinear_matmul(v, h, w) * 2.0
                 flow = jnp.stack([u, v], axis=-1)
-                warped = _warp(b, flow)
+                warped = _warp(b, flow, allow_pallas=on_tpu)
                 flow = flow + _level_refine(
                     a, warped, search, params.win, params.cost_dtype
                 )
@@ -244,7 +261,7 @@ def dense_flow(
             flow = jnp.zeros(a.shape + (2,), jnp.float32)
         elif flow.shape[-3] != h or flow.shape[-2] != w:
             flow = upsample2_flow(flow, h, w)
-        warped = _warp(b, flow)
+        warped = _warp(b, flow, allow_pallas=on_tpu)
         flow = flow + _level_refine(a, warped, search, params.win, params.cost_dtype)
 
     return flow

@@ -28,8 +28,7 @@ def solve3x3(a: jnp.ndarray, b: jnp.ndarray, fallback: float = 0.0) -> jnp.ndarr
     d = det3(a)
     cols = []
     for i in range(3):
-        ai = a.at[..., :, i].set(b) if hasattr(a, "at") else None
-        cols.append(det3(ai))
+        cols.append(det3(a.at[..., :, i].set(b)))
     x = jnp.stack(cols, axis=-1)
     safe = jnp.abs(d) > 1e-30
     return jnp.where(

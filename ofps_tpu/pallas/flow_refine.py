@@ -550,8 +550,8 @@ def flow_refine_uv(
     )
     if coarse_flow:
         uv_specs = [
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
         extra_scratch = [
             pltpu.VMEM((2, tch, tcw), jnp.float32),
@@ -568,8 +568,8 @@ def flow_refine_uv(
         num_scalar_prefetch=2,
         grid=(nb, gh_blocks, gw_blocks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
         + uv_specs,
         out_specs=[

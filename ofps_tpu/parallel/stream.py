@@ -92,9 +92,22 @@ class StreamPipeline:
         self.camera = camera
         self.estimators = tuple(estimators)
         self.detector = detector
-        self.flow_params = flow_params
         self.grid_wh = grid_wh
         self.shard = shardings or StreamSharding()
+        # Pallas kernels have no SPMD partitioning rule over the width axis:
+        # under a spatially-sharded mesh the dense-flow step must take the
+        # XLA path (which XLA partitions with halo exchanges).  'space'
+        # sharding therefore applies to the XLA path only.
+        if flow_params.fused is None and self._spatially_sharded():
+            flow_params = flow_params._replace(fused=False)
+        self.flow_params = flow_params
+
+    def _spatially_sharded(self) -> bool:
+        for sh in (self.shard.image, self.shard.flow):
+            spec = getattr(sh, "spec", None)
+            if spec is not None and any(ax is not None for ax in spec[1:]):
+                return True
+        return False
 
     # -- state ---------------------------------------------------------------
 

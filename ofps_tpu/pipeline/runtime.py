@@ -43,6 +43,16 @@ class DecoderFeed:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        """Blocking put that re-checks the stop flag; False if stopped."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _run(self):
         try:
             while not self._stop.is_set():
@@ -51,11 +61,18 @@ class DecoderFeed:
                 dt = time.perf_counter() - t0
                 if frame is None:
                     break
-                self._q.put((frame, dt))
+                if not self._put((frame, dt)):
+                    return  # consumer stopped early; don't block forever
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:
-            self._q.put(self._END)
+            if not self._put(self._END):
+                # Stopped: nobody is iterating, but leave the sentinel if a
+                # slot is free so a racing __iter__ terminates cleanly.
+                try:
+                    self._q.put_nowait(self._END)
+                except queue.Full:
+                    pass
 
     def __iter__(self) -> Iterator[DecodedFrame]:
         while True:
@@ -69,12 +86,21 @@ class DecoderFeed:
             yield frame
 
     def stop(self):
+        """Stop the feed and join the worker without leaking it.
+
+        Drains the queue in a loop (not a single get): the worker may be
+        blocked on the data put *and then* on the ``_END`` put, so one drain
+        is not enough — the round-1 version stalled 5 s per early-stopped
+        feed and leaked the thread + decoder.
+        """
         self._stop.set()
-        try:
-            self._q.get_nowait()
-        except queue.Empty:
-            pass
-        self._thread.join(timeout=5)
+        deadline = time.perf_counter() + 5.0
+        while self._thread.is_alive() and time.perf_counter() < deadline:
+            try:
+                self._q.get(timeout=0.05)
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.05)
 
 
 class PerfStats:

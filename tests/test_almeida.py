@@ -67,3 +67,46 @@ def test_vmap_over_streams():
     for i, q in enumerate(qs):
         err = float(jnp.rad2deg(quat.angle_to(q, out[i])))
         assert err < 0.05
+
+
+def test_uniform_cap_weights_is_spatially_uniform():
+    """The capped eval subset must cover the whole raster, not the top strip."""
+    from ofps_tpu.estimators.almeida import uniform_cap_weights
+
+    n, k = 4000, 500
+    mask = np.ones(n, np.float32)
+    mask[::7] = 0.0  # some invalid entries sprinkled in
+    w = np.asarray(uniform_cap_weights(jnp.asarray(mask), k))
+    assert w.sum() == pytest.approx(k, abs=2)
+    assert np.all(w <= mask)  # never selects invalid points
+    # Each quarter of the raster receives ~k/4 of the subset.
+    quarters = w.reshape(4, -1).sum(axis=1)
+    assert np.all(np.abs(quarters - k / 4) <= 3), quarters
+    # No-cap case: every valid point kept.
+    w_all = np.asarray(uniform_cap_weights(jnp.asarray(mask), n))
+    assert np.array_equal(w_all, mask)
+
+
+def test_ransac_scores_bottom_of_frame():
+    """Regression: outliers confined to the TOP raster strip must not win.
+
+    Round-1 scored only the first num_samples valid points (raster order =
+    top of frame); corrupting exactly that strip flipped the winner.
+    """
+    cam = StandardCamera.create(1.0, 90.0)
+    grid = get_grid(50, 50, cam)
+    q = euler_deg(0.0, 1.0, 0.5)
+    flow = synthetic_field(cam, q, grid=grid)
+    n = flow.pos.shape[0]
+    n_top = n // 4
+    # Corrupt the first (top-of-frame) quarter with inconsistent motion.
+    bad = jnp.asarray(
+        np.random.default_rng(3).uniform(-0.05, 0.05, (n_top, 2)),
+        jnp.float32,
+    )
+    motion = flow.motion.at[:n_top].set(bad)
+    flow = flow._replace(motion=motion)
+    est = create_estimator("almeida", ransac_samples=n_top)  # cap < clean pts
+    est_q, _, _ = jax.jit(est.estimate)((), flow, cam, jax.random.PRNGKey(0))
+    delta = float(jnp.rad2deg(quat.angle_to(q, est_q)))
+    assert delta < 0.1, delta

@@ -3,6 +3,7 @@
 import json
 import math
 import os
+import time
 
 import numpy as np
 import pytest
@@ -424,3 +425,20 @@ def test_flow_to_rgba():
     out = overlay(frame, rgba)
     assert out.shape == (16, 24, 4)
     assert not np.array_equal(out, frame)  # overlay applied
+
+
+def test_decoder_feed_early_stop_joins_worker():
+    """stop() while the worker is blocked on a full queue must not stall.
+
+    Round-1 drained at most one item, so the worker's final _END put blocked
+    forever: every early-stopped feed leaked its thread after a 5 s join
+    timeout.
+    """
+    feed = DecoderFeed(FakeDecoder(1000))
+    it = iter(feed)
+    next(it)
+    next(it)  # worker now blocked putting frame ~4
+    t0 = time.perf_counter()
+    feed.stop()
+    assert time.perf_counter() - t0 < 2.0, "stop() stalled"
+    assert not feed._thread.is_alive(), "decoder thread leaked"

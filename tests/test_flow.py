@@ -136,3 +136,31 @@ def test_box_filter_constant():
     x = jnp.full((16, 16), 2.0)
     out = box_filter(x, 5)
     assert abs(float(out[8, 8]) - 2.0) < 1e-6
+
+
+def test_low_contrast_bf16_vs_f32_cost_operands():
+    """bf16 |diff| operands must not perturb flow on low-contrast scenes.
+
+    Pins the bf16-vs-f32 cost-path delta: SAD aggregation accumulates in f32
+    regardless of cost_dtype, so only the operand rounding differs and the
+    argmin must stay stable even where candidates are near-tied.
+    """
+    h, w = 120, 160
+    big = _texture(h, w, pad=20, seed=11)
+    # Low contrast: compress dynamic range to ~6 gray levels out of 255.
+    big = 120.0 + 6.0 * big
+    i1 = jnp.asarray(big[20 : 20 + h, 20 : 20 + w])
+    i2 = jnp.asarray(big[18 : 18 + h, 21 : 21 + w])  # true shift (-1, 2)
+    f_bf = dense_flow(i1, i2, FlowParams(levels=3, cost_dtype=jnp.bfloat16))
+    f_f32 = dense_flow(i1, i2, FlowParams(levels=3, cost_dtype=jnp.float32))
+    delta = np.abs(np.asarray(f_bf) - np.asarray(f_f32))[10:-10, 10:-10]
+    # Near-tied candidates may still flip argmin on isolated ambiguous
+    # pixels; what must hold is that flips are RARE and the mean is tiny
+    # (round-1's bf16 subtract gave mean 1.2 px and 2.3 px EPE here).
+    assert delta.mean() <= 0.02, delta.mean()
+    assert (delta.max(axis=-1) > 0.5).mean() <= 0.01
+    # And both recover the true shift.
+    for f in (f_bf, f_f32):
+        inner = np.asarray(f)[20:-20, 20:-20]
+        epe = np.linalg.norm(inner - np.asarray([-1.0, 2.0]), axis=-1).mean()
+        assert epe < 1.0, epe

@@ -161,3 +161,31 @@ def test_graft_entry_dryrun():
     state, out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out.rot[0])))
     ge.dryrun_multichip(8)
+
+
+def test_spatial_sharding_disables_fused_pallas_path():
+    """'space'-sharded pipelines must take the XLA flow path (ADVICE r1)."""
+    from ofps_tpu.ops.flow_pyramid import FlowParams
+    from ofps_tpu.parallel.sharding import (
+        make_stream_mesh,
+        stream_sharding,
+        StreamSharding,
+    )
+    from ofps_tpu.parallel.stream import StreamPipeline
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cam = StandardCamera.create(16 / 9, 90.0)
+    mesh = make_stream_mesh(8)
+    pipe = StreamPipeline(camera=cam, shardings=stream_sharding(mesh))
+    assert pipe.flow_params.fused is False
+    # Batch-only sharding keeps the backend-auto choice.
+    batch_only = StreamSharding(batch=NamedSharding(mesh, P("stream")))
+    pipe2 = StreamPipeline(camera=cam, shardings=batch_only)
+    assert pipe2.flow_params.fused is None
+    # An explicit user choice is never overridden.
+    pipe3 = StreamPipeline(
+        camera=cam,
+        flow_params=FlowParams(fused=True),
+        shardings=stream_sharding(mesh),
+    )
+    assert pipe3.flow_params.fused is True
