@@ -24,7 +24,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow
+from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow_warm
 
 BASELINE_FPS = 1000.0 / 45.679  # reference OpenCV dense flow, demo.md:85
 
@@ -32,16 +32,19 @@ BASELINE_FPS = 1000.0 / 45.679  # reference OpenCV dense flow, demo.md:85
 def build_runner(batch: int, h: int, w: int, iters: int, params: FlowParams):
     @jax.jit
     def run(i1, i2):
-        init = jnp.zeros((batch, h, w, 2), jnp.float32)
+        # Streaming carry: the half-res warm-start flow (bf16, the real
+        # OPTFLOW_USE_INITIAL_FLOW chain) plus a scalar checksum of every
+        # frame's FULL-RES output so no level can be dead-code-eliminated.
+        (u, v), warm = dense_flow_warm(i1, i2, params)
+        acc = jnp.sum(u) + jnp.sum(v)
 
-        def body(flow, _):
-            # Warm-started flow chains iterations (OPTFLOW_USE_INITIAL_FLOW
-            # semantics) and prevents XLA from hoisting the loop body.
-            f = dense_flow(i1, i2, params, init_flow=flow)
-            return f, ()
+        def body(carry, _):
+            warm, acc = carry
+            (u, v), warm = dense_flow_warm(i1, i2, params, warm=warm)
+            return (warm, acc + jnp.sum(u) + jnp.sum(v)), ()
 
-        flow, _ = jax.lax.scan(body, init, None, length=iters)
-        return jnp.sum(flow[..., 0])
+        (_, acc), _ = jax.lax.scan(body, (warm, acc), None, length=iters - 1)
+        return acc
 
     return run
 

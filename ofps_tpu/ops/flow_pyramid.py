@@ -79,6 +79,9 @@ class FlowParams(NamedTuple):
     # pallas_call has no SPMD partitioning rule for the width axis, so only
     # the XLA path shards; StreamPipeline sets this automatically.
     fused: Optional[bool] = None
+    # Smallest pyramid level (pixels) handled by the fused Pallas kernel;
+    # below this the per-block grid overhead beats the XLA path's HBM cost.
+    fuse_min_pixels: int = 120_000
 
 
 def effective_levels(params: FlowParams, h: int, w: int) -> int:
@@ -170,17 +173,19 @@ def _level_refine(i1, warped, search: int, win: int, cost_dtype=jnp.bfloat16):
     )
 
 
-def dense_flow(
+def _dense_flow_impl(
     i1: jnp.ndarray,
     i2: jnp.ndarray,
-    params: FlowParams = FlowParams(),
-    init_flow: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """Dense flow i1 -> i2 in pixel units.
+    params: FlowParams,
+    init_uv=None,
+):
+    """Shared pyramid loop: returns (u, v, warm) with warm the level-1 flow.
 
-    ``i1``/``i2``: (..., H, W) float32 grayscale.  Returns (..., H, W, 2).
-    ``init_flow`` enables the warm start the reference gets from
-    OPTFLOW_USE_INITIAL_FLOW (cv-decoder lib.rs:162-166).
+    ``init_uv``: optional (u, v) warm-start pair at ANY resolution (it is
+    resized to the coarsest level); bf16 accepted.  ``warm`` is the refined
+    half-resolution flow — carrying it between frames gives the
+    OPTFLOW_USE_INITIAL_FLOW warm start without a full-resolution
+    read-back (the coarsest level can't see fine detail anyway).
     """
     levels = effective_levels(params, i1.shape[-2], i1.shape[-1])
     pyr1 = build_pyramid(i1, levels)
@@ -198,24 +203,29 @@ def dense_flow(
             return params.fine_search
         return params.search
 
+    warm_out = None
     if on_tpu:
         # Fused-kernel path: flow carried as split (u, v) components — the
-        # trailing-dim-2 layout forces relayouts between pallas calls.
+        # trailing-dim-2 layout forces relayouts between pallas calls — and
+        # in bfloat16 between pyramid levels (halves the carry DMA bytes;
+        # at |flow| < 64 px the bf16 step is < 0.4% of a pixel, far below
+        # the ~0.1 px subpixel precision).  The finest level emits f32.
         from ofps_tpu.ops.image import resize_bilinear_matmul
         from ofps_tpu.pallas.flow_refine import flow_refine_uv
 
         u = v = None
-        if init_flow is not None:
+        if init_uv is not None:
+            u0, v0 = init_uv
             h, w = pyr1[-1].shape[-2], pyr1[-1].shape[-1]
-            scale = h / i1.shape[-2]
-            u = resize_bilinear_matmul(init_flow[..., 0], h, w) * scale
-            v = resize_bilinear_matmul(init_flow[..., 1], h, w) * scale
+            scale = h / u0.shape[-2]
+            u = resize_bilinear_matmul(u0.astype(jnp.float32), h, w) * scale
+            v = resize_bilinear_matmul(v0.astype(jnp.float32), h, w) * scale
 
         for lvl in range(levels - 1, -1, -1):
             a, b = pyr1[lvl], pyr2[lvl]
             h, w = a.shape[-2], a.shape[-1]
             search = level_search(lvl)
-            fused = h * w >= 512 * 512
+            fused = h * w >= params.fuse_min_pixels
             if u is None:
                 shp = a.shape[:-2] + (
                     ((h + 1) // 2, (w + 1) // 2) if fused else (h, w)
@@ -223,29 +233,37 @@ def dense_flow(
                 u = jnp.zeros(shp, jnp.float32)
                 v = jnp.zeros(shp, jnp.float32)
             coarse = u.shape[-2] != h or u.shape[-1] != w
+            out_dtype = jnp.bfloat16 if lvl > 0 else jnp.float32
             if fused:
                 # Coarse flow feeds the kernel directly: the 2x upsample
                 # happens in VMEM (no standalone upsample pass).
                 u, v = flow_refine_uv(
-                    a, b, u, v, search, params.win, coarse_flow=coarse
+                    a, b, u, v, search, params.win, coarse_flow=coarse,
+                    out_dtype=out_dtype,
                 )
             else:
                 if coarse:
-                    u = resize_bilinear_matmul(u, h, w) * 2.0
-                    v = resize_bilinear_matmul(v, h, w) * 2.0
-                flow = jnp.stack([u, v], axis=-1)
+                    u = resize_bilinear_matmul(u.astype(jnp.float32), h, w) * 2.0
+                    v = resize_bilinear_matmul(v.astype(jnp.float32), h, w) * 2.0
+                flow = jnp.stack([u.astype(jnp.float32), v.astype(jnp.float32)], axis=-1)
                 warped = _warp(b, flow, allow_pallas=on_tpu)
                 flow = flow + _level_refine(
                     a, warped, search, params.win, params.cost_dtype
                 )
                 u, v = flow[..., 0], flow[..., 1]
-        return jnp.stack([u, v], axis=-1)
+            if lvl == 1 or levels == 1:
+                warm_out = (u, v)
+        return u, v, warm_out
 
     flow = None
-    if init_flow is not None:
+    if init_uv is not None:
         # Downsample the warm-start flow to the coarsest level.
+        u0, v0 = init_uv
         h, w = pyr1[-1].shape[-2], pyr1[-1].shape[-1]
-        scale = h / i1.shape[-2]
+        scale = h / u0.shape[-2]
+        init_flow = jnp.stack(
+            [u0.astype(jnp.float32), v0.astype(jnp.float32)], axis=-1
+        )
         flow = (
             jax.image.resize(
                 init_flow, init_flow.shape[:-3] + (h, w, 2), method="bilinear"
@@ -263,8 +281,47 @@ def dense_flow(
             flow = upsample2_flow(flow, h, w)
         warped = _warp(b, flow, allow_pallas=on_tpu)
         flow = flow + _level_refine(a, warped, search, params.win, params.cost_dtype)
+        if lvl == 1 or levels == 1:
+            warm_out = (flow[..., 0], flow[..., 1])
 
-    return flow
+    return flow[..., 0], flow[..., 1], warm_out
+
+
+def dense_flow(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    params: FlowParams = FlowParams(),
+    init_flow: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Dense flow i1 -> i2 in pixel units, packed layout.
+
+    ``i1``/``i2``: (..., H, W) float32 grayscale.  Returns (..., H, W, 2).
+    ``init_flow`` enables the warm start the reference gets from
+    OPTFLOW_USE_INITIAL_FLOW (cv-decoder lib.rs:162-166).
+    """
+    init_uv = None
+    if init_flow is not None:
+        init_uv = (init_flow[..., 0], init_flow[..., 1])
+    u, v, _ = _dense_flow_impl(i1, i2, params, init_uv)
+    return jnp.stack([u, v], axis=-1)
+
+
+def dense_flow_warm(
+    i1: jnp.ndarray,
+    i2: jnp.ndarray,
+    params: FlowParams = FlowParams(),
+    warm=None,
+):
+    """Streaming-oriented dense flow with a cheap warm-start carry.
+
+    Returns ``((u, v), warm_next)``: full-resolution split flow components
+    plus the refined half-resolution flow to pass as ``warm`` on the next
+    frame.  The split/bf16 carry avoids the full-res packed-layout
+    round-trips of ``dense_flow(init_flow=...)`` (the trailing-dim-2 stack
+    and the full-res re-read cost ~0.3 ms/frame at 1080p).
+    """
+    u, v, warm_next = _dense_flow_impl(i1, i2, params, warm)
+    return (u, v), warm_next
 
 
 def flow_to_normalized(flow: jnp.ndarray) -> jnp.ndarray:

@@ -87,6 +87,8 @@ def _refine_kernel(
     tch=0,
     tcw=0,
     img_dtype=jnp.float32,
+    out_dtype=jnp.float32,
+    uv_dtype=jnp.float32,
     stage=99,  # debug: truncate the kernel after stage N (perf bisection)
 ):
     b = pl.program_id(0)
@@ -186,8 +188,8 @@ def _refine_kernel(
     wait_dmas(t, slot)
 
     if not up:
-        u = u_ref[0]
-        v = v_ref[0]
+        u = u_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
     base_row, base_col = i2_base(t)
     block_top = bi * bh + _ROW_PAD
     block_left = bj * bw + _COL_PAD
@@ -211,14 +213,14 @@ def _refine_kernel(
         p_i = jax.lax.broadcasted_iota(jnp.int32, (tcw, ew), 1).astype(
             jnp.float32
         )
-        cmat = _tri(a_i - (0.5 * (p_i - hs) - 0.25 + delta))
+        cmat = _tri(a_i - (0.5 * (p_i - hs) - 0.25 + delta)).astype(uv_dtype)
         q_i = jax.lax.broadcasted_iota(jnp.int32, (eh, tch), 0).astype(
             jnp.float32
         )
         a2_i = jax.lax.broadcasted_iota(jnp.int32, (eh, tch), 1).astype(
             jnp.float32
         )
-        rmat = _tri(a2_i - (0.5 * (q_i - hs) - 0.25 + 8.0))
+        rmat = _tri(a2_i - (0.5 * (q_i - hs) - 0.25 + 8.0)).astype(uv_dtype)
 
         def upsample(sc):
             tmp = jnp.dot(sc[slot], cmat, preferred_element_type=jnp.float32)
@@ -230,8 +232,8 @@ def _refine_kernel(
         v = v_full[hs : hs + bh, hs : hs + bw]
         v_ext = _edge_extend(v_full, 0, 0, _PAD, _PAD)  # (eh, ncol)
         if stage <= 1:  # DMA + upsample only
-            ou_ref[0] = u
-            ov_ref[0] = v
+            ou_ref[0] = (u).astype(out_dtype)
+            ov_ref[0] = (v).astype(out_dtype)
             return
     else:
         # Flow extended to the halo by edge replication (exact inside the
@@ -256,8 +258,8 @@ def _refine_kernel(
     ).astype(img_dtype)
 
     if stage <= 2:  # + column-shift matmul
-        ou_ref[0] = u + tile2[:bh, :bw] * 1e-30
-        ov_ref[0] = v
+        ou_ref[0] = (u + tile2[:bh, :bw] * 1e-30).astype(out_dtype)
+        ov_ref[0] = (v).astype(out_dtype)
         return
 
     # ---- warp in VMEM: separable triangle taps ---------------------------
@@ -275,8 +277,8 @@ def _refine_kernel(
         warped = warped + _tri(uu - j).astype(img_dtype) * c[:, j : j + ew]
 
     if stage <= 3:  # + warp
-        ou_ref[0] = u + warped[hs : hs + bh, hs : hs + bw].astype(jnp.float32) * 1e-30
-        ov_ref[0] = v
+        ou_ref[0] = (u + warped[hs : hs + bh, hs : hs + bw].astype(jnp.float32) * 1e-30).astype(out_dtype)
+        ov_ref[0] = (v).astype(out_dtype)
         return
 
     # i1 with r halo: static in-tile offsets (rows: 8 - r; cols: 128 - r).
@@ -285,10 +287,44 @@ def _refine_kernel(
     ].astype(img_dtype)
 
     # ---- candidate cost sweep (math of _level_refine) --------------------
+    # Border penalties factor into per-dy row masks and per-dx column masks
+    # (computed once per block, not 8 iota ops per candidate): the combined
+    # where costs 2 ops per candidate.  Costs are NOT scaled by the box area:
+    # argmin and the parabola offset (a ratio) are scale-invariant.
     ys = bi * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
     xs = bj * bw + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+    row_pen = {
+        dy: jnp.where((ys + dy < 0) | (ys + dy > himg - 1), _BIG, 0.0)
+        for dy in range(-s, s + 1)
+    }
+    col_pen = {
+        dx: jnp.where((xs + dx < 0) | (xs + dx > wimg - 1), _BIG, 0.0)
+        for dx in range(-s, s + 1)
+    }
     side = 2 * s + 1
-    inv_area = 1.0 / float((2 * r + 1) ** 2)
+
+    def _tree_box(a, span, axis, out_len):
+        """Sum of ``span`` consecutive slices along ``axis`` in O(log) adds.
+
+        Doubling tree: s1 = a + shift1(a) covers 2 taps, s2 = s1 + shift2(s1)
+        covers 4, ... then one remainder add.  5-tap box sums drop from 5
+        shifted adds to 3 — the cost sweep is pure VPU work and this is its
+        dominant op count.
+        """
+        def sl(x, off, ln):
+            if axis == 0:
+                return x[off : off + ln, :]
+            return x[:, off : off + ln]
+
+        covered = 1
+        acc = a
+        while covered * 2 <= span:
+            ln = acc.shape[axis] - covered
+            acc = sl(acc, 0, ln) + sl(acc, covered, ln)
+            covered *= 2
+        if covered < span:
+            acc = sl(acc, 0, out_len) + sl(a, span - 1, out_len)
+        return sl(acc, 0, out_len)
 
     costs = []
     for dy in range(-s, s + 1):
@@ -297,29 +333,19 @@ def _refine_kernel(
                 hs + dy - r : hs + dy + bh + r, hs + dx - r : hs + dx + bw + r
             ]
             diff = jnp.abs(i1t - wsh)
-            acc = jnp.zeros((bh, bw + 2 * r), img_dtype)
-            for tt in range(2 * r + 1):
-                acc = acc + diff[tt : tt + bh, :]
-            cost = jnp.zeros((bh, bw), img_dtype)
-            for tt in range(2 * r + 1):
-                cost = cost + acc[:, tt : tt + bw]
-            # Back to f32 before masks: Mosaic cannot relayout the i1
-            # masks between 16-bit (bf16 compare) and 32-bit (int/f32) data.
-            cost = cost.astype(jnp.float32) * inv_area
-            oob = (
-                (xs + dx < 0)
-                | (xs + dx > wimg - 1)
-                | (ys + dy < 0)
-                | (ys + dy > himg - 1)
-            )
-            costs.append(jnp.where(oob, _BIG, cost))
+            acc = _tree_box(diff, 2 * r + 1, 0, bh)
+            cost = _tree_box(acc, 2 * r + 1, 1, bw)
+            # Back to f32 before the penalty adds: Mosaic cannot relayout
+            # masks between 16-bit (bf16 compare) and 32-bit operand widths.
+            cost = cost.astype(jnp.float32) + (row_pen[dy] + col_pen[dx])
+            costs.append(cost)
 
     if stage <= 4:  # + candidate costs
         acc0 = costs[0]
         for cc in costs[1:]:
             acc0 = acc0 + cc
-        ou_ref[0] = u + acc0 * 1e-30
-        ov_ref[0] = v
+        ou_ref[0] = (u + acc0 * 1e-30).astype(out_dtype)
+        ov_ref[0] = (v).astype(out_dtype)
         return
 
     # Two-phase argmin + parabola-neighbor extraction: per-dy row reductions
@@ -385,8 +411,8 @@ def _refine_kernel(
     sub_x = parabola(cxm, c0, cxp, jnp.abs(bx) == s)
     sub_y = parabola(cym, c0, cyp, jnp.abs(by) == s)
 
-    ou_ref[0] = u + bx.astype(jnp.float32) + sub_x
-    ov_ref[0] = v + by.astype(jnp.float32) + sub_y
+    ou_ref[0] = (u + bx.astype(jnp.float32) + sub_x).astype(out_dtype)
+    ov_ref[0] = (v + by.astype(jnp.float32) + sub_y).astype(out_dtype)
 
 
 def _pick_block(n: int, candidates) -> int:
@@ -414,6 +440,7 @@ def flow_refine_uv(
     interpret: bool = False,
     coarse_flow: bool = False,
     img_dtype=jnp.float32,
+    out_dtype=jnp.float32,
     stage: int = 99,
 ):
     """Fused warp + refine of one pyramid level on split flow components.
@@ -452,8 +479,9 @@ def flow_refine_uv(
     gw_blocks = wp // bw
 
     def block_mean(x, wh, ww):
+        # f32 accumulation even for bf16 carries (sums of ~1e3 values).
         return jax.lax.reduce_window(
-            x, 0.0, jax.lax.add, (1, wh, ww), (1, wh, ww), "VALID"
+            x.astype(jnp.float32), 0.0, jax.lax.add, (1, wh, ww), (1, wh, ww), "VALID"
         ) * (1.0 / (wh * ww))
 
     if coarse_flow:
@@ -541,6 +569,8 @@ def flow_refine_uv(
         t2h=t2h,
         t2w=t2w,
         img_dtype=img_dtype,
+        out_dtype=out_dtype,
+        uv_dtype=u.dtype,
         stage=stage,
         up=coarse_flow,
         wcp=wcp,
@@ -554,8 +584,8 @@ def flow_refine_uv(
             pl.BlockSpec(memory_space=pl.ANY),
         ]
         extra_scratch = [
-            pltpu.VMEM((2, tch, tcw), jnp.float32),
-            pltpu.VMEM((2, tch, tcw), jnp.float32),
+            pltpu.VMEM((2, tch, tcw), u.dtype),
+            pltpu.VMEM((2, tch, tcw), u.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ]
     else:
@@ -588,11 +618,14 @@ def flow_refine_uv(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nb, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((nb, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((nb, hp, wp), out_dtype),
+            jax.ShapeDtypeStruct((nb, hp, wp), out_dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # The default 16 MB scoped-vmem budget is tight for the live set
+            # (costs + warp extensions + penalty masks); v5e VMEM is 128 MB.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )
