@@ -41,15 +41,21 @@ BOUNDS: Dict[Tuple[str, str], Tuple[float, float]] = {
     ("homography", "max_error"): (0.00001, 0.1),
     ("homography", "max_iters"): (1, 5000),
     ("homography", "num_hypotheses"): (1, 4096),
+    ("homography", "outlier_proba"): (0.0, 0.99),
+    ("homography", "eval_cap"): (64, 65536),
     # multiview-estimator properties
     ("multiview", "desired_confidence"): (0.0, 1.0),
     ("multiview", "max_error"): (0.00001, 0.1),
     ("multiview", "num_hypotheses"): (1, 4096),
+    ("multiview", "outlier_proba"): (0.0, 0.99),
+    ("multiview", "eval_cap"): (64, 65536),
     # libmv-estimator/src/lib.rs:118-132
-    ("libmv", "outlier_proba"): (0.0, 1.0),
+    ("libmv", "outlier_proba"): (0.0, 0.99),
     ("libmv", "max_error"): (0.00001, 0.1),
     ("libmv", "algo_points"): (7, 8),
     ("libmv", "num_hypotheses"): (1, 4096),
+    ("libmv", "desired_confidence"): (0.0, 1.0),
+    ("libmv", "eval_cap"): (64, 65536),
     # block-motion-detector/src/lib.rs:29-46
     ("block_motion", "min_size"): (0.001, 1.0),
     ("block_motion", "subdivide"): (1, 16),

@@ -32,6 +32,7 @@ from ofps_tpu.core import quat
 from ofps_tpu.core.camera import StandardCamera
 from ofps_tpu.core.motion import SparseFlow
 from ofps_tpu.estimators.base import EstimatorInstance, register
+from ofps_tpu.ops.robust import uniform_cap_weights
 from ofps_tpu.ops.solve import solve3x3
 
 # lib.rs:17-18
@@ -106,21 +107,8 @@ def _sample_indices(key, mask: jnp.ndarray, shape_rows: int, k: int):
     return idx  # (shape_rows, k)
 
 
-def uniform_cap_weights(mask: jnp.ndarray, num_samples: int) -> jnp.ndarray:
-    """Cap valid weights at ``num_samples`` *spatially uniformly*.
-
-    Sparse flows are raster-ordered, so keeping the FIRST num_samples valid
-    points would weight only the top strip of the frame.  Instead keep every
-    (total/num_samples)-th valid point: the cumulative-valid-count ``c``
-    crosses a stride boundary ~num_samples times, spread evenly over the
-    raster order.  (The reference's random subset, lib.rs:226-232, only
-    exists to bound CPU cost; a deterministic uniform subset is unbiased.)
-    Pure elementwise VPU work — no gathers.
-    """
-    c = jnp.cumsum(mask)
-    stride = jnp.maximum(c[-1] / num_samples, 1.0)
-    crosses = jnp.floor(c / stride) > jnp.floor((c - 1.0) / stride)
-    return mask * crosses
+# uniform_cap_weights moved to ops.robust (shared with the epipolar
+# estimators' eval_cap); re-exported here for backwards compatibility.
 
 
 def solve_ypr_ransac(

@@ -29,7 +29,7 @@ from ofps_tpu.ops.homography import (
     dlt_homography,
     homography_transfer_error,
 )
-from ofps_tpu.ops.robust import robust_fit
+from ofps_tpu.ops.robust import ransac_budget, robust_fit
 
 
 class HomographyParams(NamedTuple):
@@ -40,6 +40,8 @@ class HomographyParams(NamedTuple):
     max_iters: int = 2000
     use_ransac: bool = True
     num_hypotheses: int = 512
+    outlier_proba: float = 0.5
+    eval_cap: int = 2048
 
 
 def estimate_homography_rotation(
@@ -60,9 +62,15 @@ def estimate_homography_rotation(
         minimal_fit=minimal,
         sample_size=4,
         error_fn=homography_transfer_error,
-        num_hypotheses=min(params.num_hypotheses, params.max_iters),
+        num_hypotheses=ransac_budget(
+            params.desired_confidence,
+            params.outlier_proba,
+            4,
+            min(params.num_hypotheses, params.max_iters),
+        ),
         threshold=params.max_error,
         use_lmeds=not params.use_ransac,
+        eval_cap=params.eval_cap,
     )
     # Weighted refit on the winning inlier set (OpenCV refines with LM here).
     h = dlt_homography(p1, p2, res.inliers)

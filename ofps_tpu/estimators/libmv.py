@@ -35,7 +35,7 @@ from ofps_tpu.ops.epipolar import (
     sampson_error,
     seven_point_fundamental,
 )
-from ofps_tpu.ops.robust import robust_fit
+from ofps_tpu.ops.robust import ransac_budget, robust_fit
 from ofps_tpu.ops.solve import solve3x3
 
 GRID = 40  # spatial-index resolution; cell size 0.025 covers the 0.05 range
@@ -49,6 +49,8 @@ class LibmvParams(NamedTuple):
     max_error: float = 0.0001
     algo_points: int = 7
     num_hypotheses: int = 512
+    desired_confidence: float = 0.999
+    eval_cap: int = 2048
 
 
 class PrevMotion(NamedTuple):
@@ -168,9 +170,19 @@ def _robust_fundamental(key, params: LibmvParams, x1, x2, w):
         minimal_fit=minimal,
         sample_size=k,
         error_fn=sampson_error,
-        num_hypotheses=params.num_hypotheses,
+        # libmv sizes its loop from outlier_prob (libmv-c.h:8-35): the
+        # 0.7 default at k=7/8 needs more iterations than the static
+        # ceiling, which therefore binds — but LOWERING outlier_proba now
+        # measurably shrinks the batch (e.g. 0.3 @ 7pt -> 84 hypotheses).
+        num_hypotheses=ransac_budget(
+            params.desired_confidence,
+            params.outlier_proba,
+            k,
+            params.num_hypotheses,
+        ),
         threshold=params.max_error,
         use_lmeds=False,
+        eval_cap=params.eval_cap,
     )
 
 

@@ -32,16 +32,27 @@ from ofps_tpu.ops.epipolar import (
     recover_pose_from_essential,
     sampson_error,
 )
-from ofps_tpu.ops.robust import robust_fit
+from ofps_tpu.ops.five_point import five_point_essential
+from ofps_tpu.ops.robust import ransac_budget, robust_fit
 
 
 class MultiviewParams(NamedTuple):
-    """Properties parity with lib.rs:23-37 (+ hypothesis batch size)."""
+    """Properties parity with lib.rs:23-37 (+ hypothesis batch size).
+
+    ``num_hypotheses`` is the CEILING on the vmapped hypothesis batch; the
+    actual count is the RANSAC bound derived from ``desired_confidence`` at
+    the ``outlier_proba`` prior (lib.rs confidence 0.999 via OpenCV's
+    adaptive loop).  ``use_five_point=True`` matches the reference's Nistér
+    solver; False falls back to the 8-point-on-E minimal fit.
+    """
 
     desired_confidence: float = 0.999
     max_error: float = 0.0001
     use_ransac: bool = True
     num_hypotheses: int = 512
+    outlier_proba: float = 0.5
+    use_five_point: bool = True
+    eval_cap: int = 2048
 
 
 def _normalized_coords(camera: StandardCamera, p: jnp.ndarray) -> jnp.ndarray:
@@ -63,10 +74,15 @@ def estimate_essential_rotation(
     focal = (k[0, 0] + k[1, 1]) * 0.5
     thr = params.max_error / focal
 
-    def minimal(x1s, x2s, ws):
-        f = eight_point_fundamental(x1s, x2s, ws)
-        e = project_to_essential(f)
-        return e[None], jnp.ones((1,), dtype=bool)
+    if params.use_five_point:
+        minimal, k = five_point_essential, 5
+    else:
+        def minimal(x1s, x2s, ws):
+            f = eight_point_fundamental(x1s, x2s, ws)
+            e = project_to_essential(f)
+            return e[None], jnp.ones((1,), dtype=bool)
+
+        k = 8
 
     res = robust_fit(
         key,
@@ -74,11 +90,17 @@ def estimate_essential_rotation(
         x2,
         w,
         minimal_fit=minimal,
-        sample_size=8,
+        sample_size=k,
         error_fn=sampson_error,
-        num_hypotheses=params.num_hypotheses,
+        num_hypotheses=ransac_budget(
+            params.desired_confidence,
+            params.outlier_proba,
+            k,
+            params.num_hypotheses,
+        ),
         threshold=thr,
         use_lmeds=not params.use_ransac,
+        eval_cap=params.eval_cap,
     )
     # Refit on inliers, then recover pose with a parallel cheirality vote.
     e = project_to_essential(eight_point_fundamental(x1, x2, res.inliers))

@@ -1,0 +1,279 @@
+"""Nistér 5-point minimal essential-matrix solver, TPU-batchable.
+
+Parity target: the reference multiview estimator calls OpenCV's
+``find_essential_mat`` which uses Nistér's 5-point solver
+(``/root/reference/multiview-estimator/src/lib.rs:66-110``).  OpenCV's
+implementation builds Nistér's Gauss-Jordan tableau symbolically and runs a
+sequential root finder — neither maps to TPU.  This is a from-scratch
+**hidden-variable resultant** formulation in which every step is dense
+batched linear algebra with static shapes:
+
+1. The 4-dim null space of the 5x9 epipolar design matrix gives
+   ``E(x, y, z) = x E1 + y E2 + z E3 + E4`` (scale fixed on the E4 axis).
+2. The 10 cubic constraints (``det E = 0`` and the trace constraint
+   ``2 E Eᵀ E - tr(E Eᵀ) E = 0``) are polynomials in (x, y) of total degree
+   3 once z is fixed — exactly 10 bivariate monomials.  Their coefficients
+   are extracted **numerically**: evaluate the constraint vector at 10
+   fixed (x, y) probe points and multiply by a precomputed inverse monomial
+   matrix (no symbolic expansion at all).
+3. A nontrivial (x, y) solution requires ``det M(z) = 0`` where M(z) is the
+   10x10 coefficient matrix: a degree-10 polynomial in z (Nistér's).  Its
+   coefficients come from **determinant interpolation** at 11 Chebyshev
+   nodes (batched Gauss elimination with partial pivoting, no LAPACK).
+4. Real roots via sign changes of the homogenized polynomial on a tan-angle
+   grid + fixed-count bisection, then Newton polish directly on
+   ``det M(z)`` (kills the interpolation conditioning error).
+5. For each root, (x, y) is the null vector of M(z*) (inverse iteration),
+   read off the linear monomials.
+
+Everything vmaps over RANSAC hypotheses; up to 10 candidate E per sample,
+matching :func:`ofps_tpu.ops.robust.robust_fit`'s multi-model convention.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ofps_tpu.ops.epipolar import _epipolar_rows, project_to_essential
+from ofps_tpu.ops.solve import gauss_solve, smallest_eigvecs_inverse_iteration
+
+_mm = partial(jnp.matmul, precision="highest")
+
+# Bivariate monomial basis for fixed z: B10(x, y).
+# Order: [x^3, x^2 y, x y^2, y^3, x^2, x y, y^2, x, y, 1]
+_IDX_X, _IDX_Y, _IDX_1 = 7, 8, 9
+
+
+def _monomials10(x, y):
+    return np.stack(
+        [x**3, x**2 * y, x * y**2, y**3, x**2, x * y, y**2, x, y, np.ones_like(x)],
+        axis=0,
+    )
+
+
+def _probe_points():
+    """10 (x, y) probe points with a well-conditioned monomial matrix."""
+    ang = np.arange(10) * (2.0 * np.pi / 10.0) + 0.35
+    rad = np.where(np.arange(10) % 2 == 0, 0.75, 1.35)
+    return rad * np.cos(ang), rad * np.sin(ang)
+
+
+_PX, _PY = _probe_points()
+# c_j(x_i, y_i) = (M @ Vt)[j, i] with Vt[k, i] = B10_k(x_i, y_i)
+# => M = C @ inv(Vt).  Precomputed in float64 (cond ~ 60).
+_VT_INV = jnp.asarray(np.linalg.inv(_monomials10(_PX, _PY)), jnp.float32)
+_PXJ = jnp.asarray(_PX, jnp.float32)
+_PYJ = jnp.asarray(_PY, jnp.float32)
+
+# 11 Chebyshev interpolation nodes for the degree-10 det polynomial, and the
+# inverse Vandermonde mapping det values -> monomial coefficients (float64).
+_ZN = np.cos((2.0 * np.arange(11) + 1.0) / 22.0 * np.pi) * 1.25
+_VAND_INV = jnp.asarray(
+    np.linalg.inv(np.vander(_ZN, 11, increasing=True)), jnp.float32
+)
+_ZNJ = jnp.asarray(_ZN, jnp.float32)
+
+_N_GRID = 512  # tan-angle sign-scan resolution
+_HADAMARD4 = jnp.asarray(
+    0.5
+    * np.array(
+        [[1, 1, 1, 1], [1, -1, 1, -1], [1, 1, -1, -1], [1, -1, -1, 1]],
+        np.float64,
+    ),
+    jnp.float32,
+)
+_MAX_ROOTS = 10
+_EXTRA_SEEDS = 4
+
+
+def _constraints(e):
+    """The 10 cubic scalar constraints of an essential matrix, batched.
+
+    ``e``: (..., 3, 3).  Returns (..., 10): [det; flat(2 E Eᵀ E − tr(E Eᵀ) E)].
+    """
+    det = (
+        e[..., 0, 0] * (e[..., 1, 1] * e[..., 2, 2] - e[..., 1, 2] * e[..., 2, 1])
+        - e[..., 0, 1] * (e[..., 1, 0] * e[..., 2, 2] - e[..., 1, 2] * e[..., 2, 0])
+        + e[..., 0, 2] * (e[..., 1, 0] * e[..., 2, 1] - e[..., 1, 1] * e[..., 2, 0])
+    )
+    eet = _mm(e, jnp.swapaxes(e, -1, -2))
+    tr = eet[..., 0, 0] + eet[..., 1, 1] + eet[..., 2, 2]
+    m = 2.0 * _mm(eet, e) - tr[..., None, None] * e
+    return jnp.concatenate(
+        [det[..., None], m.reshape(m.shape[:-2] + (9,))], axis=-1
+    )
+
+
+def _coeff_matrix(basis, z):
+    """M(z): (..., 10, 10) coefficients over B10(x, y) for fixed z.
+
+    ``basis``: (..., 4, 3, 3) null-space matrices [E1, E2, E3, E4];
+    ``z``: (...,) the hidden variable.
+    """
+    e1, e2, e3, e4 = (basis[..., k, :, :] for k in range(4))
+    c = e3 * z[..., None, None] + e4  # (..., 3, 3)
+    # Evaluate constraints at the 10 probe points: E = x E1 + y E2 + C.
+    e = (
+        _PXJ[:, None, None] * e1[..., None, :, :]
+        + _PYJ[:, None, None] * e2[..., None, :, :]
+        + c[..., None, :, :]
+    )  # (..., 10pts, 3, 3)
+    cons = _constraints(e)  # (..., 10pts, 10cons)
+    return _mm(jnp.swapaxes(cons, -1, -2), _VT_INV)
+
+
+def _det10(m):
+    """Determinant of (..., n, n) by Gauss elimination w/ partial pivoting.
+
+    Vectorized: pivot selection and row swaps are one-hot masked updates (no
+    gathers), so it vmaps cleanly over hypothesis x node batches.
+    """
+    n = m.shape[-1]
+    batch = m.shape[:-2]
+    det = jnp.ones(batch, m.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    for k in range(n):
+        col = jnp.abs(m[..., :, k])
+        col = jnp.where(rows >= k, col, -1.0)
+        p = jnp.argmax(col, axis=-1)  # (...,)
+        onehot_p = (rows == p[..., None]).astype(m.dtype)  # (..., n)
+        onehot_k = (rows == k).astype(m.dtype)
+        pivot_row = jnp.sum(onehot_p[..., None] * m, axis=-2)  # (..., n)
+        k_row = m[..., k, :]
+        # Swap rows k and p (no-op when p == k).
+        m = (
+            m
+            + onehot_k[..., None] * (pivot_row - k_row)[..., None, :]
+            - onehot_p[..., None] * (pivot_row - k_row)[..., None, :]
+        )
+        det = det * jnp.where(p == k, 1.0, -1.0)
+        piv = m[..., k, k]
+        det = det * piv
+        safe = jnp.where(jnp.abs(piv) > 1e-30, piv, 1e-30)
+        factor = jnp.where(rows > k, m[..., :, k] / safe[..., None], 0.0)
+        m = m - factor[..., None] * m[..., k, None, :]
+    return det
+
+
+def _poly_eval_homog(coefs, s, c):
+    """P(s, c) = sum_i a_i s^i c^(10-i) — stable evaluation of p(tan θ)."""
+    deg = coefs.shape[-1] - 1
+    acc = jnp.zeros(jnp.broadcast_shapes(s.shape, coefs.shape[:-1] + s.shape[-1:]))
+    sp = jnp.ones_like(s)
+    # Horner-like: accumulate a_i s^i c^(deg-i) via running powers.
+    for i in range(deg + 1):
+        cp = c ** (deg - i)
+        acc = acc + coefs[..., i, None] * sp * cp
+        sp = sp * s
+    return acc
+
+
+def five_point_essential(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray):
+    """Up to 10 essential-matrix candidates from a (weighted) 5-point sample.
+
+    ``x1``/``x2``: (N, 2) normalized camera coordinates; ``w``: (N,) 0/1
+    weights (the minimal sample uses the 5 highest-weight rows implicitly —
+    callers pass exactly-5 gathered samples from
+    :func:`ofps_tpu.ops.robust.robust_fit`).
+
+    Returns ``(es (28, 3, 3), valid (28,) bool)``: up to 10 bracketed
+    roots plus 4 tangent-root candidates per chart, two charts.
+    """
+    rows = _epipolar_rows(x1, x2) * w[..., None]  # (N, 9)
+    ata = _mm(rows.T, rows)
+    nullb = smallest_eigvecs_inverse_iteration(ata, k=4, iters=4)  # (9, 4)
+    basis = jnp.swapaxes(nullb, -1, -2).reshape(4, 3, 3)  # [E1..E4]
+
+    # The w=1 chart degenerates when the true solution has a tiny E4
+    # coordinate (x, y, z blow up); solve a second chart with the basis
+    # mixed by a fixed orthogonal 4x4 (Hadamard/2) whose degeneracy set is
+    # disjoint, and pool the candidates.
+    es_a, valid_a = _solve_chart(basis)
+    es_b, valid_b = _solve_chart(_mm(_HADAMARD4, basis.reshape(4, 9)).reshape(4, 3, 3))
+    return (
+        jnp.concatenate([es_a, es_b], axis=0),
+        jnp.concatenate([valid_a, valid_b], axis=0),
+    )
+
+
+def _solve_chart(basis):
+    """All essential candidates of one E4-normalized chart of the null space."""
+    # --- degree-10 polynomial det M(z) by interpolation ------------------
+    mz = _coeff_matrix(basis[None], jnp.broadcast_to(_ZNJ, (11,)))  # (11,10,10)
+    dets = _det10(mz)  # (11,)
+    scale = jnp.maximum(jnp.max(jnp.abs(dets)), 1e-30)
+    coefs = _mm(_VAND_INV, (dets / scale)[:, None])[:, 0]  # (11,)
+
+    # --- real roots: sign scan over tan-angle + bisection ----------------
+    theta = jnp.linspace(-np.pi / 2 * 0.999, np.pi / 2 * 0.999, _N_GRID)
+    pv = _poly_eval_homog(coefs, jnp.sin(theta), jnp.cos(theta))
+    sgn = jnp.sign(pv)
+    change = (sgn[:-1] * sgn[1:]) < 0.0  # (_N_GRID-1,)
+    # Up to _MAX_ROOTS bracketed intervals, earliest first.
+    score = change.astype(jnp.float32) * 2.0 - jnp.arange(_N_GRID - 1) / _N_GRID
+    _, idx = jax.lax.top_k(score, _MAX_ROOTS)
+    bracketed = change[idx]
+    lo = theta[idx]
+    hi = theta[idx + 1]
+    flo = _poly_eval_homog(coefs, jnp.sin(lo), jnp.cos(lo))
+    for _ in range(30):
+        mid = 0.5 * (lo + hi)
+        fmid = _poly_eval_homog(coefs, jnp.sin(mid), jnp.cos(mid))
+        same = jnp.sign(fmid) == jnp.sign(flo)
+        lo = jnp.where(same, mid, lo)
+        flo = jnp.where(same, fmid, flo)
+        hi = jnp.where(same, hi, mid)
+    z = jnp.tan(0.5 * (lo + hi))  # (_MAX_ROOTS,)
+
+    # Tangent (double) roots produce NO sign change: seed extra candidates
+    # at the deepest local minima of |P| and let Newton + the residual gate
+    # below sort the real ones from the fakes.
+    absp = jnp.abs(pv)
+    locmin = (absp[1:-1] <= absp[:-2]) & (absp[1:-1] <= absp[2:])
+    mscore = jnp.where(locmin, -absp[1:-1], -jnp.inf)
+    _, midx = jax.lax.top_k(mscore, _EXTRA_SEEDS)
+    z = jnp.concatenate([z, jnp.tan(theta[midx + 1])])
+    bracketed = jnp.concatenate(
+        [bracketed, jnp.ones((_EXTRA_SEEDS,), bool)]
+    )
+
+    # Newton polish on det M(z) itself (exact function, not the interpolant).
+    def detz(zz):
+        return _det10(_coeff_matrix(basis[None], zz)) / scale
+
+    for _ in range(4):
+        h = 1e-3 * (1.0 + jnp.abs(z))
+        f0 = detz(z)
+        fp = (detz(z + h) - detz(z - h)) / (2.0 * h)
+        step = f0 / jnp.where(jnp.abs(fp) > 1e-20, fp, 1e-20)
+        z = z - jnp.clip(step, -0.1 * (1.0 + jnp.abs(z)), 0.1 * (1.0 + jnp.abs(z)))
+
+    # Residual gate: genuine roots have |det M(z)| ~ 0 after polishing.
+    valid = bracketed & (jnp.abs(detz(z)) < 1e-3)
+
+    # --- (x, y) from the null vector of M(z*) ----------------------------
+    mzs = _coeff_matrix(basis[None], z)  # (_MAX_ROOTS, 10, 10)
+    mtm = _mm(jnp.swapaxes(mzs, -1, -2), mzs)
+    v = smallest_eigvecs_inverse_iteration(mtm, k=1, iters=4)[..., 0]  # (R, 10)
+    denom = v[..., _IDX_1]
+    ok_denom = jnp.abs(denom) > 1e-12
+    safe = jnp.where(ok_denom, denom, 1.0)
+    x = v[..., _IDX_X] / safe
+    y = v[..., _IDX_Y] / safe
+
+    es = (
+        x[:, None, None] * basis[0]
+        + y[:, None, None] * basis[1]
+        + z[:, None, None] * basis[2]
+        + basis[3]
+    )
+    es = project_to_essential(es)
+    norm = jnp.sqrt(jnp.sum(es * es, axis=(-2, -1)))
+    es = es / jnp.maximum(norm, 1e-20)[:, None, None]
+    valid = valid & ok_denom & jnp.all(jnp.isfinite(es), axis=(-2, -1))
+    return es, valid

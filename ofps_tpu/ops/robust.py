@@ -17,10 +17,48 @@ multiple candidate models per sample (the 7-point fundamental returns 3).
 
 from __future__ import annotations
 
+import math
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+
+def ransac_budget(
+    desired_confidence: float,
+    outlier_frac: float,
+    sample_size: int,
+    max_hypotheses: int,
+    min_hypotheses: int = 8,
+) -> int:
+    """Hypothesis count to reach ``desired_confidence`` (trace-time).
+
+    The standard RANSAC iteration bound N = log(1-p) / log(1-(1-eps)^k)
+    (the adaptive loop of ``homography-estimator/src/lib.rs:64-117`` /
+    libmv's ``outlier_prob``, evaluated at the configured outlier prior).
+    All inputs are static properties, so the budget is resolved at trace
+    time and directly sizes the vmapped hypothesis batch — changing
+    ``desired_confidence`` or the outlier prior changes compiled work.
+    """
+    p_good = max(1e-9, (1.0 - outlier_frac) ** sample_size)
+    denom = math.log(max(1e-12, 1.0 - p_good))
+    n = math.log(max(1e-12, 1.0 - desired_confidence)) / denom
+    return int(min(max_hypotheses, max(min_hypotheses, math.ceil(n))))
+
+
+def uniform_cap_weights(mask: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """Cap valid weights at ``num_samples`` *spatially uniformly*.
+
+    Sparse flows are raster-ordered, so keeping the FIRST num_samples valid
+    points would weight only the top strip of the frame.  Instead keep every
+    (total/num_samples)-th valid point: the cumulative-valid-count ``c``
+    crosses a stride boundary ~num_samples times, spread evenly over the
+    raster order.  Pure elementwise VPU work — no gathers.
+    """
+    c = jnp.cumsum(mask)
+    stride = jnp.maximum(c[-1] / num_samples, 1.0)
+    crosses = jnp.floor(c / stride) > jnp.floor((c - 1.0) / stride)
+    return mask * crosses
 
 
 class RobustResult(NamedTuple):
@@ -61,7 +99,14 @@ def robust_fit(
     num_hypotheses: int,
     threshold: float,
     use_lmeds: bool = False,
+    eval_cap: int = 0,
 ) -> RobustResult:
+    """``eval_cap > 0`` scores hypotheses on a spatially uniform subset of
+    at most that many valid points (gathered once — H x cap work instead of
+    H x N), then recomputes the winner's inlier set over ALL points.  The
+    reference bounds its CPU cost the same way with random 1000-point
+    subsets (almeida lib.rs:226-232); a deterministic uniform subset is
+    unbiased and gather-free per hypothesis."""
     n = x1.shape[0]
     idx = sample_indices(key, w, num_hypotheses, sample_size)  # (H, k)
 
@@ -73,30 +118,42 @@ def robust_fit(
     models = models.reshape(hm, 3, 3)
     valid = valid.reshape(hm)
 
-    errs = error_fn(models, x1, x2)  # (HM, N)
+    if eval_cap and eval_cap < n:
+        wc = uniform_cap_weights(w, eval_cap)
+        # Selected entries first (deterministic), zero-weight tail after.
+        rank = wc * 2.0 - jnp.arange(n, dtype=jnp.float32) / n
+        _, eidx = jax.lax.top_k(rank, eval_cap)
+        x1e, x2e, we = x1[eidx], x2[eidx], wc[eidx]
+    else:
+        x1e, x2e, we = x1, x2, w
+
+    errs = error_fn(models, x1e, x2e)  # (HM, S)
     thr2 = jnp.float32(threshold * threshold)
 
     if use_lmeds:
-        med = _masked_median(errs, w)  # (HM,)
+        med = _masked_median(errs, we)  # (HM,)
         score = -jnp.where(valid, med, jnp.float32(1e30))
         best = jnp.argmax(score)
-        best_err = errs[best]
         # OpenCV LMedS inlier cut: 2.5 * robust sigma from the median.
-        nvalid = jnp.maximum(jnp.sum(w), sample_size + 1.0)
+        nvalid = jnp.maximum(jnp.sum(we), sample_size + 1.0)
         sigma = 2.5 * 1.4826 * (1.0 + 5.0 / (nvalid - sample_size)) * jnp.sqrt(
             jnp.maximum(-score[best], 0.0)
         )
         cut = jnp.maximum(sigma * sigma, thr2)
+        best_err = error_fn(models[best][None], x1, x2)[0]  # (N,)
         inliers = (best_err <= cut) & (w > 0.5)
+        final_score = score[best]
     else:
-        ok = (errs <= thr2) & (w > 0.5)[None, :]
+        ok = (errs <= thr2) & (we > 0.5)[None, :]
         counts = jnp.sum(ok, axis=-1)
         score = jnp.where(valid, counts, -1)
         best = jnp.argmax(score)
-        inliers = ok[best]
+        best_err = error_fn(models[best][None], x1, x2)[0]  # (N,)
+        inliers = (best_err <= thr2) & (w > 0.5)
+        final_score = jnp.sum(inliers)
 
     return RobustResult(
         model=models[best],
         inliers=inliers.astype(jnp.float32),
-        score=score[best].astype(jnp.float32),
+        score=final_score.astype(jnp.float32),
     )
