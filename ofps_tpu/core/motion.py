@@ -127,8 +127,12 @@ class Densifier(NamedTuple):
         at least one filled 6-neighbor receives the distance-weighted average
         of its filled neighbors' mean values.  The reference fills cells one at
         a time in most-neighbors-first order; this Jacobi-style sweep converges
-        to the same fill class (weights 0.5 cardinal, 1-sqrt(2)/2 diagonal) and
-        is TPU-parallel.
+        to the same fill class and is TPU-parallel.  Weighting matches the
+        reference exactly per contribution: ``add_vector_idx`` multiplies the
+        passed ``scale * mean`` by the ``scale`` weight again
+        (motion_field.rs:141-147 + 265), so sums accumulate ``scale^2 * mean``
+        against ``scale`` counts.  Agreement with the sequential oracle is
+        gated in ``tests/test_oracle_parity.py``.
         """
         h, w = self.counts.shape[-2:]
 
@@ -138,13 +142,21 @@ class Densifier(NamedTuple):
             mean = sums / counts[..., None]
             add_sum = jnp.zeros_like(sums)
             add_cnt = jnp.zeros_like(counts)
+            nb_count = jnp.zeros_like(counts)
             for dx, dy in _INTERP_NEIGHBORS:
                 scale = 1.0 - math.sqrt(dx * dx + dy * dy) * 0.5
                 nb_filled = _shift2d(filled.astype(sums.dtype), dx, dy)
                 nb_mean = _shift2d(mean, dx, dy)
-                add_sum = add_sum + scale * nb_mean * nb_filled[..., None]
+                add_sum = add_sum + (scale * scale) * nb_mean * nb_filled[..., None]
                 add_cnt = add_cnt + scale * nb_filled
-            gets_fill = (~filled) & (add_cnt > 0.0)
+                nb_count = nb_count + nb_filled
+            # Priority batching: the reference pops cells most-filled-
+            # neighbors-first (the BTreeSet order, motion_field.rs:231-246);
+            # fill only the cells tied at the current maximum count so the
+            # parallel order tracks the sequential one.
+            cand = (~filled) & (nb_count > 0.0)
+            maxc = jnp.max(jnp.where(cand, nb_count, 0.0))
+            gets_fill = cand & (nb_count >= maxc)
             new_sums = jnp.where(gets_fill[..., None], sums + add_sum, sums)
             new_counts = jnp.where(gets_fill, counts + add_cnt, counts)
             return new_sums, new_counts, jnp.any(gets_fill)
