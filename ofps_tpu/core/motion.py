@@ -15,7 +15,7 @@ algorithm (``motion_field.rs:193-294``).
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -247,6 +247,40 @@ def grid_downsample_field(field: jnp.ndarray, gw: int, gh: int) -> jnp.ndarray:
     )
     counts = jnp.sum(sy, axis=0)[:, None] * jnp.sum(sx, axis=0)[None, :]
     return sums / jnp.maximum(counts, 1.0)[..., None]
+
+
+def grid_downsample_uv(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    gw: int,
+    gh: int,
+    norm_wh: Optional[Tuple[int, int]] = None,
+) -> jnp.ndarray:
+    """Split-plane variant of :func:`grid_downsample_field`.
+
+    ``u``/``v``: (..., H, W) flow components (bf16 accepted — the matmul
+    upcasts on the fly, so the HBM read stays half-width).  ``norm_wh``
+    additionally converts pixel units to the [0,1]-normalized decoder
+    convention by (W, H) division, folded into the tiny grid-sized output
+    instead of a full-resolution pass.  Returns (..., gh, gw, 2) float32.
+    """
+    h, w = u.shape[-2], u.shape[-1]
+    sy = _axis_scatter_matrix(h, gh)  # (H, gh)
+    sx = _axis_scatter_matrix(w, gw)  # (W, gw)
+    counts = jnp.sum(sy, axis=0)[:, None] * jnp.sum(sx, axis=0)[None, :]
+
+    def ds(x):
+        t = jnp.einsum(
+            "...hw,wk->...hk", x.astype(jnp.float32), sx, precision="highest"
+        )
+        return jnp.einsum("hg,...hk->...gk", sy, t, precision="highest")
+
+    su = ds(u) / counts
+    sv = ds(v) / counts
+    if norm_wh is not None:
+        su = su / norm_wh[0]
+        sv = sv / norm_wh[1]
+    return jnp.stack([su, sv], axis=-1)
 
 
 def gaussian_blur(field: jnp.ndarray, ksize: int, sigma: float = 0.0) -> jnp.ndarray:

@@ -63,7 +63,9 @@ def _warp(img: jnp.ndarray, flow: jnp.ndarray, allow_pallas: bool = True) -> jnp
 
 
 class FlowParams(NamedTuple):
-    levels: int = 5
+    # 6 levels at 1080p puts the wide coarse search on a 33x60 image (half
+    # the cost of 5-level 67x120) and doubles the large-motion range.
+    levels: int = 6
     # Mid-level search radius: 1 (9 candidates) measures within noise of 2
     # (25 candidates) on the shift/rotation suites — the pyramid, not the
     # radius, carries large motions — at ~2.8x less candidate work.
@@ -81,7 +83,18 @@ class FlowParams(NamedTuple):
     fused: Optional[bool] = None
     # Smallest pyramid level (pixels) handled by the fused Pallas kernel;
     # below this the per-block grid overhead beats the XLA path's HBM cost.
-    fuse_min_pixels: int = 120_000
+    fuse_min_pixels: int = 30_000
+    # Output dtype of the FUSED path's finest level.  bf16 halves the
+    # dominant HBM write (17.7 MB/frame of f32 u+v at 1080p); quantization
+    # at |flow|<8 px is <0.03 px — an order below the block matcher's own
+    # ~0.1 px subpixel accuracy.  The packed dense_flow() API casts back to
+    # f32; dense_flow_warm() hands the bf16 planes straight to consumers.
+    flow_dtype: Any = jnp.bfloat16
+    # Fused-path fast selection for warm-started search=1 levels: 5-cost
+    # axis-separable refinement instead of the 9-cost 2-D argmin (~25%
+    # whole-pipeline speedup; subpixel accuracy on diagonal residuals is
+    # gated by tests against the full path).
+    axis_sep: bool = True
 
 
 def effective_levels(params: FlowParams, h: int, w: int) -> int:
@@ -124,40 +137,50 @@ def _level_refine(i1, warped, search: int, win: int, cost_dtype=jnp.bfloat16):
         )
         return jnp.where(oob, _BIG, c)
 
-    # Pass A: streaming argmin over the candidate sweep.
-    best_c = None
-    best_i = None
-    for i, (dx, dy) in enumerate(shifts):
-        c = cand_cost(dx, dy)
-        if best_c is None:
-            best_c = c
-            best_i = jnp.zeros(c.shape, jnp.int32)
-        else:
-            take = c < best_c
-            best_c = jnp.where(take, c, best_c)
-            best_i = jnp.where(take, i, best_i)
-
+    # Two-phase selection (same structure as the Pallas kernel): per-dy row
+    # (min, argmin) first, then a reduction across rows, then parabola
+    # neighbors re-selected from the per-row candidate lists.  The previous
+    # flat indicator sweep issued 5 selects per candidate (845 ops at
+    # search=6) — pure launch overhead at the small coarse levels.
     side = 2 * search + 1
-    bx = (best_i % side) - search
-    by = (best_i // side) - search
 
-    # Pass B: parabola neighbors selected by indicator accumulation —
-    # TPU-friendly, unlike per-element gathers (take_along_axis lowers to a
-    # scalar-core gather that dominated the kernel).
+    def select_at(ix, clist):
+        val = clist[0]
+        for k in range(1, side):
+            val = jnp.where(ix == k - search, clist[k], val)
+        return val
+
+    rows = []
+    for dy in range(-search, search + 1):
+        clist = [cand_cost(dx, dy) for dx in range(-search, search + 1)]
+        rmin = clist[0]
+        rbx = jnp.full(clist[0].shape, -search, jnp.int32)
+        for k in range(1, side):
+            take = clist[k] < rmin
+            rmin = jnp.where(take, clist[k], rmin)
+            rbx = jnp.where(take, k - search, rbx)
+        rows.append((rmin, rbx, clist))
+
+    best_c, bx, _ = rows[0]
+    by = jnp.full(best_c.shape, -search, jnp.int32)
+    for k in range(1, side):
+        rmin, rbx, _ = rows[k]
+        take = rmin < best_c
+        best_c = jnp.where(take, rmin, best_c)
+        bx = jnp.where(take, rbx, bx)
+        by = jnp.where(take, k - search, by)
+
     bxm = jnp.maximum(bx - 1, -search)
     bxp = jnp.minimum(bx + 1, search)
     bym = jnp.maximum(by - 1, -search)
     byp = jnp.minimum(by + 1, search)
-    zero = jnp.zeros(best_c.shape, jnp.float32)
-    c0, cxm, cxp, cym, cyp = zero, zero, zero, zero, zero
-    for i, (dx, dy) in enumerate(shifts):
-        c = cand_cost(dx, dy)
-        on_y = by == dy
-        c0 = c0 + jnp.where((bx == dx) & on_y, c, 0.0)
-        cxm = cxm + jnp.where((bxm == dx) & on_y, c, 0.0)
-        cxp = cxp + jnp.where((bxp == dx) & on_y, c, 0.0)
-        cym = cym + jnp.where((bx == dx) & (bym == dy), c, 0.0)
-        cyp = cyp + jnp.where((bx == dx) & (byp == dy), c, 0.0)
+
+    row_at_bx = [select_at(bx, rows[k][2]) for k in range(side)]
+    c0 = select_at(by, row_at_bx)
+    cym = select_at(bym, row_at_bx)
+    cyp = select_at(byp, row_at_bx)
+    cxm = select_at(by, [select_at(bxm, rows[k][2]) for k in range(side)])
+    cxp = select_at(by, [select_at(bxp, rows[k][2]) for k in range(side)])
 
     def parabola(cm, cc, cp, at_edge):
         denom = cm - 2.0 * cc + cp
@@ -233,13 +256,13 @@ def _dense_flow_impl(
                 u = jnp.zeros(shp, jnp.float32)
                 v = jnp.zeros(shp, jnp.float32)
             coarse = u.shape[-2] != h or u.shape[-1] != w
-            out_dtype = jnp.bfloat16 if lvl > 0 else jnp.float32
+            out_dtype = jnp.bfloat16 if lvl > 0 else params.flow_dtype
             if fused:
                 # Coarse flow feeds the kernel directly: the 2x upsample
                 # happens in VMEM (no standalone upsample pass).
                 u, v = flow_refine_uv(
                     a, b, u, v, search, params.win, coarse_flow=coarse,
-                    out_dtype=out_dtype,
+                    out_dtype=out_dtype, axis_sep=params.axis_sep,
                 )
             else:
                 if coarse:
@@ -303,7 +326,9 @@ def dense_flow(
     if init_flow is not None:
         init_uv = (init_flow[..., 0], init_flow[..., 1])
     u, v, _ = _dense_flow_impl(i1, i2, params, init_uv)
-    return jnp.stack([u, v], axis=-1)
+    return jnp.stack(
+        [u.astype(jnp.float32), v.astype(jnp.float32)], axis=-1
+    )
 
 
 def dense_flow_warm(

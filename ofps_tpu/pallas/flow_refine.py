@@ -89,6 +89,7 @@ def _refine_kernel(
     img_dtype=jnp.float32,
     out_dtype=jnp.float32,
     uv_dtype=jnp.float32,
+    axis_sep=False,
     stage=99,  # debug: truncate the kernel after stage N (perf bisection)
 ):
     b = pl.program_id(0)
@@ -326,9 +327,21 @@ def _refine_kernel(
             acc = sl(acc, 0, out_len) + sl(a, span - 1, out_len)
         return sl(acc, 0, out_len)
 
+    if axis_sep:
+        # Warm-started levels (|parent residual| < 1 px): evaluate only the
+        # 5-cost cross (dx axis at dy=0, dy axis at dx=0) and refine each
+        # axis independently — 5/9 of the SAD work and a 1-D selection.
+        # Diagonal integer residuals still resolve (each axis improves
+        # independently); only their subpixel term degrades slightly —
+        # gated on the TPU parity/accuracy checks.
+        assert s == 1, "axis_sep is a search=1 fast path"
+        pairs = [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1)]
+    else:
+        pairs = [(dx, dy) for dy in range(-s, s + 1) for dx in range(-s, s + 1)]
+
     costs = []
-    for dy in range(-s, s + 1):
-        for dx in range(-s, s + 1):
+    for dx, dy in pairs:
+        if True:
             wsh = warped[
                 hs + dy - r : hs + dy + bh + r, hs + dx - r : hs + dx + bw + r
             ]
@@ -346,6 +359,30 @@ def _refine_kernel(
             acc0 = acc0 + cc
         ou_ref[0] = (u + acc0 * 1e-30).astype(out_dtype)
         ov_ref[0] = (v).astype(out_dtype)
+        return
+
+    if axis_sep:
+        cxm, cym0, c00, cyp0 = costs[1], costs[0], costs[2], costs[4]
+        cxp = costs[3]
+
+        def axis_refine(cm, cc, cp):
+            bi = jnp.where(cm < cc, jnp.where(cm <= cp, -1, 1),
+                           jnp.where(cp < cc, 1, 0))
+            denom = cm - 2.0 * cc + cp
+            off = jnp.where(
+                jnp.abs(denom) > 1e-12,
+                0.5 * (cm - cp) / jnp.maximum(jnp.abs(denom), 1e-12)
+                * jnp.sign(denom),
+                0.0,
+            )
+            off = jnp.clip(off, -0.5, 0.5)
+            # Parabola only valid at the interior minimum (bi == 0);
+            # boundary winners move the full integer step (no neighbor
+            # beyond the 3-tap window — same edge rule as the 2-D path).
+            return bi.astype(jnp.float32) + jnp.where(bi == 0, off, 0.0)
+
+        ou_ref[0] = (u + axis_refine(cxm, c00, cxp)).astype(out_dtype)
+        ov_ref[0] = (v + axis_refine(cym0, c00, cyp0)).astype(out_dtype)
         return
 
     # Two-phase argmin + parabola-neighbor extraction: per-dy row reductions
@@ -441,6 +478,7 @@ def flow_refine_uv(
     coarse_flow: bool = False,
     img_dtype=jnp.float32,
     out_dtype=jnp.float32,
+    axis_sep: bool = False,
     stage: int = 99,
 ):
     """Fused warp + refine of one pyramid level on split flow components.
@@ -571,6 +609,7 @@ def flow_refine_uv(
         img_dtype=img_dtype,
         out_dtype=out_dtype,
         uv_dtype=u.dtype,
+        axis_sep=axis_sep and search == 1,
         stage=stage,
         up=coarse_flow,
         wcp=wcp,

@@ -33,11 +33,16 @@ from ofps_tpu.core.motion import (
     SparseFlow,
     field_to_sparse,
     grid_downsample_field,
+    grid_downsample_uv,
     grid_size_for,
 )
 from ofps_tpu.detectors.base import DetectionResult, DetectorInstance
 from ofps_tpu.estimators.base import EstimatorInstance
-from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow, flow_to_normalized
+from ofps_tpu.ops.flow_pyramid import (
+    FlowParams,
+    dense_flow_warm,
+    effective_levels,
+)
 from ofps_tpu.parallel.sharding import StreamSharding, constrain
 
 
@@ -45,7 +50,11 @@ class StreamState(NamedTuple):
     """Per-stream carried state for a batch of B streams."""
 
     prev_gray: jnp.ndarray  # (B, H, W) previous grayscale frame
-    prev_flow: jnp.ndarray  # (B, H, W, 2) dense-flow warm start (pixels)
+    # Dense-flow warm start: the refined HALF-resolution (u, v) planes from
+    # the previous frame (OPTFLOW_USE_INITIAL_FLOW semantics at 1/8 the
+    # carry bytes of full-res packed flow; the coarsest pyramid level sees
+    # the same information either way).
+    warm_uv: Tuple[jnp.ndarray, jnp.ndarray]
     has_prev: jnp.ndarray  # (B,) 1.0 once a previous frame exists
     rot: Tuple[jnp.ndarray, ...]  # per estimator: (B, 4) integrated rotation
     pos: Tuple[jnp.ndarray, ...]  # per estimator: (B, 3) integrated position
@@ -88,7 +97,12 @@ class StreamPipeline:
         flow_params: FlowParams = FlowParams(),
         grid_wh: Optional[Tuple[int, int]] = None,
         shardings: Optional[StreamSharding] = None,
+        emit_dense_flow: bool = True,
     ):
+        # emit_dense_flow=False skips materializing the packed (B, H, W, 2)
+        # f32 field in StreamOutputs.flow (the estimators/detector only need
+        # the densified grid) — the full-rate serving configuration.
+        self.emit_dense_flow = emit_dense_flow
         self.camera = camera
         self.estimators = tuple(estimators)
         self.detector = detector
@@ -113,9 +127,16 @@ class StreamPipeline:
 
     def init_state(self, batch: int, height: int, width: int) -> StreamState:
         e = len(self.estimators)
+        if effective_levels(self.flow_params, height, width) > 1:
+            wh, ww = (height + 1) // 2, (width + 1) // 2
+        else:
+            wh, ww = height, width  # single-level pyramid: warm is full res
         return StreamState(
             prev_gray=jnp.zeros((batch, height, width), jnp.float32),
-            prev_flow=jnp.zeros((batch, height, width, 2), jnp.float32),
+            warm_uv=(
+                jnp.zeros((batch, wh, ww), jnp.float32),
+                jnp.zeros((batch, wh, ww), jnp.float32),
+            ),
             has_prev=jnp.zeros((batch,), jnp.float32),
             rot=tuple(
                 jnp.broadcast_to(quat.identity(), (batch, 4)) for _ in range(e)
@@ -173,26 +194,45 @@ class StreamPipeline:
         """
         gray = constrain(gray, self.shard.image)
         h, w = gray.shape[-2], gray.shape[-1]
-        flow_px = dense_flow(
-            state.prev_gray, gray, self.flow_params, init_flow=state.prev_flow
+        (u, v), warm = dense_flow_warm(
+            state.prev_gray, gray, self.flow_params, warm=state.warm_uv
         )
-        flow_px = flow_px * state.has_prev[:, None, None, None]
-        flow_px = constrain(flow_px, self.shard.flow)
+        hp = state.has_prev[:, None, None]
+        u = u * hp.astype(u.dtype)
+        v = v * hp.astype(v.dtype)
+        u = constrain(u, self.shard.image)
+        v = constrain(v, self.shard.image)
+        # Warm carry stays f32 in the state (the fused TPU path emits bf16,
+        # the XLA path f32 — scan carries need one stable dtype) and is
+        # zeroed until a real previous frame exists.
+        warm = tuple(
+            constrain(
+                x.astype(jnp.float32) * hp, self.shard.image
+            )
+            for x in warm
+        )
 
         gw, gh = self.grid_wh or grid_size_for(w, h)
-        grid = grid_downsample_field(flow_to_normalized(flow_px), gw, gh)
+        grid = grid_downsample_uv(u, v, gw, gh, norm_wh=(w, h))
         grid = constrain(grid, self.shard.batch)
         sparse = jax.vmap(field_to_sparse)(grid)
 
         rot, pos, dr, dt, est, detection = self._consume(state, sparse, key)
         new_state = StreamState(
             prev_gray=gray,
-            prev_flow=flow_px,
+            warm_uv=warm,
             has_prev=jnp.ones_like(state.has_prev),
             rot=rot,
             pos=pos,
             est=est,
         )
+        if self.emit_dense_flow:
+            flow_px = jnp.stack(
+                [u.astype(jnp.float32), v.astype(jnp.float32)], axis=-1
+            )
+            flow_px = constrain(flow_px, self.shard.flow)
+        else:
+            flow_px = jnp.zeros((gray.shape[0], 0, 0, 2), jnp.float32)
         outputs = StreamOutputs(
             flow=flow_px,
             grid=grid,

@@ -258,9 +258,14 @@ def test_cli_extract_and_config(tmp_path):
     flo = read_flo(os.path.join(flodir, "000001.flo"))
     assert flo.shape == (30, 40, 2)
     assert np.all(np.isfinite(flo))
-    # Hole-filled + blurred field should carry the ~+1px/frame motion
-    # (1/160 normalized * 40 cells wide = 0.25 cell units).
-    assert abs(np.median(flo[..., 0]) - 0.25) < 0.15
+    # The clip's MVs carry ~+1px/frame (1/160 normalized * 40 cells wide
+    # = 0.25 cell units) on a sparse subset of grid cells; hole-filled
+    # cells are DAMPED by the reference fill quirk (scale^2 sums vs scale
+    # counts, motion_field.rs:141-147+265) and the 11x11 blur spreads that
+    # over the sources too, so the field settles in a damped positive band
+    # (~0.3x the source motion) with x dominating y.
+    assert 0.03 < np.median(flo[..., 0]) < 0.2
+    assert np.median(flo[..., 0]) > 5.0 * abs(np.median(flo[..., 1]))
 
     cfg = {
         "app": "detection",

@@ -64,6 +64,41 @@ def test_kernel_coarse_flow_upsample(scene):
     assert max(np.percentile(du, 99), np.percentile(dv, 99)) < 0.5
 
 
+def test_kernel_axis_sep_close_to_full(scene):
+    """5-cost axis-separable fast path vs the full 9-cost 2-D selection.
+
+    axis_sep is the warm-started production path (FlowParams.axis_sep); it
+    must stay close to the full argmin everywhere the parent flow is good
+    (the scene's flow is exact, so residuals are subpixel).
+    """
+    i1, i2, flow = scene
+    full_u, full_v = flow_refine_uv(
+        i1, i2, flow[..., 0], flow[..., 1], 1, 5, interpret=True
+    )
+    sep_u, sep_v = flow_refine_uv(
+        i1, i2, flow[..., 0], flow[..., 1], 1, 5, interpret=True, axis_sep=True
+    )
+    du = np.abs(np.asarray(sep_u) - np.asarray(full_u))[8:-8, 8:-8]
+    dv = np.abs(np.asarray(sep_v) - np.asarray(full_v))[8:-8, 8:-8]
+    assert du.mean() < 0.05 and dv.mean() < 0.05, (du.mean(), dv.mean())
+    assert max(np.percentile(du, 99), np.percentile(dv, 99)) < 1.0
+
+
+def test_kernel_bf16_output(scene):
+    i1, i2, flow = scene
+    f32_u, f32_v = flow_refine_uv(
+        i1, i2, flow[..., 0], flow[..., 1], 1, 5, interpret=True
+    )
+    b16_u, b16_v = flow_refine_uv(
+        i1, i2, flow[..., 0], flow[..., 1], 1, 5, interpret=True,
+        out_dtype=jnp.bfloat16,
+    )
+    assert b16_u.dtype == jnp.bfloat16
+    du = np.abs(np.asarray(b16_u, np.float32) - np.asarray(f32_u))
+    # bf16 quantization at |flow| <= ~40 px here: step <= 0.25 px.
+    assert du.max() <= 0.25 + 1e-6, du.max()
+
+
 def test_kernel_batched(scene):
     i1, i2, flow = scene
     got1 = np.asarray(flow_refine_tpu(i1, i2, flow, 1, 5, interpret=True))

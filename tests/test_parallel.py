@@ -137,7 +137,9 @@ def test_sharded_step_matches_unsharded():
     st2 = sharded.init_state(b, h, w)._replace(
         prev_gray=jax.device_put(f0, shard.image), has_prev=jnp.ones((b,))
     )
-    st2 = st2._replace(prev_flow=jax.device_put(st2.prev_flow, shard.flow))
+    st2 = st2._replace(
+        warm_uv=tuple(jax.device_put(x, shard.image) for x in st2.warm_uv)
+    )
     with mesh:
         _, out_sharded = jax.jit(sharded.step_from_frames)(
             st2, jax.device_put(f1, shard.image), key
