@@ -2,7 +2,11 @@
 
 Prints ONE JSON line.  ``vs_baseline`` is the speedup over the reference's
 own dense-flow cost — OpenCV Farneback at 45.679 ms/frame on CPU
-(/root/reference/docs/demo.md:85, BASELINE.md) ≈ 21.89 fps.
+(/root/reference/docs/demo.md:85, BASELINE.md) ≈ 21.89 fps.  The line also
+carries ``pipeline``: the COMPLETE per-frame step (dense flow -> grid
+densify -> almeida-RANSAC + homography estimators -> block-motion
+detector) at 1080p, batch-swept — the serving configuration, not just the
+flow kernel (disable with --no-pipeline for quick kernel iterations).
 
 Timing method (see .claude/skills/verify/SKILL.md): the axon TPU tunnel makes
 per-call dispatch ~29 ms and ``block_until_ready`` unreliable, so the K
@@ -29,6 +33,59 @@ from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow_warm
 BASELINE_FPS = 1000.0 / 45.679  # reference OpenCV dense flow, demo.md:85
 
 
+def build_pipeline_runner(batch: int, h: int, w: int, iters: int):
+    """Jitted runner for the full multi-stream step at (batch, h, w)."""
+    from ofps_tpu.core.camera import StandardCamera
+    from ofps_tpu.detectors.base import create_detector
+    from ofps_tpu.estimators.base import create_estimator
+    from ofps_tpu.parallel.stream import StreamPipeline
+
+    pipe = StreamPipeline(
+        camera=StandardCamera.create(w / h, 90.0),
+        estimators=[
+            create_estimator("almeida"),
+            create_estimator("homography"),
+        ],
+        detector=create_detector("block_motion"),
+        flow_params=FlowParams(),
+        emit_dense_flow=False,
+    )
+    state0 = pipe.init_state(batch, h, w)
+
+    @jax.jit
+    def run(gray, key):
+        # prev_gray is carried state, so every step does full work; the
+        # constant input frame only pins the flow near zero (worst case for
+        # none of the stages).
+        st, out = pipe.step_from_frames(state0, gray, key)
+        keys = jax.random.split(key, iters - 1)
+
+        def body(carry, k):
+            st, acc = carry
+            st, out = pipe.step_from_frames(st, gray, k)
+            return (st, acc + jnp.sum(out.rot[0])), ()
+
+        (st, acc), _ = jax.lax.scan(
+            body, (st, jnp.sum(out.rot[0])), keys
+        )
+        return acc
+
+    return run
+
+
+def bench_pipeline(h: int, w: int, batches=(1, 4, 8), iters: int = 24):
+    """fps of the complete step per batch size (one warm compile each)."""
+    out = {}
+    for b in batches:
+        key = jax.random.PRNGKey(1)
+        gray = jax.random.uniform(key, (b, h, w), jnp.float32, 0.0, 255.0)
+        run = build_pipeline_runner(b, h, w, iters)
+        float(jax.device_get(run(gray, key)))  # compile + warm
+        best = min(_timed(run, gray, key) for _ in range(3))
+        out[f"b{b}"] = round(b * iters / best, 2)
+    return out
+
+
 def build_runner(batch: int, h: int, w: int, iters: int, params: FlowParams):
     @jax.jit
     def run(i1, i2):
@@ -49,9 +106,9 @@ def build_runner(batch: int, h: int, w: int, iters: int, params: FlowParams):
     return run
 
 
-def _timed(run, i1, i2) -> float:
+def _timed(run, *args) -> float:
     t0 = time.perf_counter()
-    float(jax.device_get(run(i1, i2)))
+    float(jax.device_get(run(*args)))
     return time.perf_counter() - t0
 
 
@@ -66,6 +123,8 @@ def main() -> None:
                     help="timed repeats; best taken (tunnel jitter ~5%%)")
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--no-pipeline", action="store_true",
+                    help="skip the full-pipeline sweep (kernel-only run)")
     ap.add_argument(
         "--profile",
         default=None,
@@ -102,16 +161,16 @@ def main() -> None:
         )
 
     fps = b * args.iters / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "dense_flow_1080p_fps_per_chip",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 2),
-            }
-        )
-    )
+    record = {
+        "metric": "dense_flow_1080p_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }
+    if not args.no_pipeline and not args.profile:
+        print("benchmarking full pipeline step...", file=sys.stderr)
+        record["pipeline_1080p_fps_per_chip"] = bench_pipeline(h, w)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -37,6 +37,13 @@ class BatchResult:
     poses_pos: List[np.ndarray]
     detections: Optional[np.ndarray]  # (T, B) bool, if a detector ran
     perf: PerfStats
+    estimator_names: List[str] = dataclasses.field(default_factory=list)
+    # Per-frame history, recorded when GT evaluation is requested:
+    # delta_rot[e][t]: (B, 4); rot[e][t]: (B, 4).
+    delta_rot: Optional[List[List[np.ndarray]]] = None
+    rot_hist: Optional[List[List[np.ndarray]]] = None
+    # (stream_idx, estimator_name) -> (avg_err, avg_r, avg_p, avg_y) rad.
+    gt_avg_err: Optional[Dict] = None
 
     def throughput_fps(self) -> float:
         s = self.perf.summary().get("step", {})
@@ -55,6 +62,8 @@ def run_batch(
     max_frames: Optional[int] = None,
     seed: int = 0,
     shardings=None,
+    ground_truths: Optional[List[Optional[str]]] = None,
+    stats_csv_prefix: Optional[str] = None,
 ) -> BatchResult:
     """Run every input stream in lockstep through one batched device step.
 
@@ -62,6 +71,12 @@ def run_batch(
     ends, the remaining frames of longer streams are not processed (a log
     line reports which stream ended the batch).  Pad inputs to equal length
     or group them by length to avoid truncation.
+
+    ``ground_truths``: optional per-stream GT CSV paths (None entries skip a
+    stream).  Per-stream, per-estimator error/pose statistics are computed
+    with the same host math as the single-stream tracking app
+    (tracking/mod.rs:756-1028 semantics at batch scale) and written to
+    ``{stats_csv_prefix}s{stream}_{estimator}.csv`` when a prefix is given.
     """
     ests = [
         create_estimator(e["name"], **(e.get("properties") or {}))
@@ -83,6 +98,9 @@ def run_batch(
     perf = PerfStats()
     key = jax.random.PRNGKey(seed)
     detections: List[np.ndarray] = []
+    want_gt = ground_truths is not None and any(ground_truths)
+    dr_hist: List[List[np.ndarray]] = [[] for _ in ests]
+    rot_hist: List[List[np.ndarray]] = [[] for _ in ests]
     frames = 0
 
     try:
@@ -115,6 +133,14 @@ def run_batch(
             with perf.time("step"):
                 key, sub = jax.random.split(key)
                 state, out = step(state, flow, sub)
+                if want_gt:
+                    for e in range(len(ests)):
+                        dr_hist[e].append(
+                            np.asarray(jax.device_get(out.delta_rot[e]))
+                        )
+                        rot_hist[e].append(
+                            np.asarray(jax.device_get(out.rot[e]))
+                        )
                 if det is not None:
                     detections.append(
                         np.asarray(jax.device_get(out.detection.detected))
@@ -126,6 +152,26 @@ def run_batch(
         for f in feeds:
             f.stop()
 
+    gt_avg = None
+    if want_gt:
+        from ofps_tpu.apps import gt as gtmod
+
+        gt_avg = {}
+        for si, gt_path in enumerate(ground_truths):
+            if not gt_path:
+                continue
+            truth = gtmod.load_ground_truth(gt_path)
+            for e, est in enumerate(ests):
+                transforms = [dr_hist[e][t][si] for t in range(frames)]
+                poses = [rot_hist[e][t][si] for t in range(frames)]
+                err = gtmod.calc_err(truth, transforms)
+                pose = gtmod.pose_stats(transforms, poses)
+                gt_avg[(si, est.name)] = gtmod.calc_avg_err(truth, transforms)
+                if stats_csv_prefix:
+                    gtmod.write_stats_csv(
+                        f"{stats_csv_prefix}s{si}_{est.name}.csv", err, pose
+                    )
+
     return BatchResult(
         frames=frames,
         streams=b,
@@ -133,4 +179,8 @@ def run_batch(
         poses_pos=[np.asarray(jax.device_get(p)) for p in state.pos],
         detections=np.stack(detections) if detections else None,
         perf=perf,
+        estimator_names=[e.name for e in ests],
+        delta_rot=dr_hist if want_gt else None,
+        rot_hist=rot_hist if want_gt else None,
+        gt_avg_err=gt_avg,
     )

@@ -133,6 +133,8 @@ def cmd_run_batch(args) -> int:
         camera_aspect=args.aspect,
         camera_fov_y=args.fov,
         max_frames=args.frames,
+        ground_truths=args.ground_truth or None,
+        stats_csv_prefix=args.stats_prefix,
     )
     print(
         f"{res.streams} streams x {res.frames} frames; "
@@ -143,6 +145,13 @@ def cmd_run_batch(args) -> int:
     if res.detections is not None:
         per_stream = res.detections.sum(axis=0)
         print(f"  detections per stream: {per_stream.tolist()}")
+    if res.gt_avg_err:
+        deg = 180.0 / 3.141592653589793
+        for (si, name), avg in sorted(res.gt_avg_err.items()):
+            print(
+                f"  stream {si} {name}: avg err {avg[0]*deg:.4f} deg "
+                f"(r {avg[1]*deg:.4f}, p {avg[2]*deg:.4f}, y {avg[3]*deg:.4f})"
+            )
     return 0
 
 
@@ -212,6 +221,16 @@ def main(argv=None) -> int:
     rb.add_argument("--aspect", type=float, default=16.0 / 9.0)
     rb.add_argument("--fov", type=float, default=90.0)
     rb.add_argument("--frames", type=int, default=None)
+    rb.add_argument(
+        "--ground-truth",
+        action="append",
+        default=None,
+        metavar="GT_CSV",
+        help="per-stream GT CSV (repeat once per input, in order; "
+        "use '' to skip a stream)",
+    )
+    rb.add_argument("--stats-prefix", default=None,
+                    help="write per-stream per-estimator stats CSVs here")
     rb.set_defaults(fn=cmd_run_batch)
 
     st = sub.add_parser("stats", help="summarize exported stats CSVs")

@@ -66,6 +66,20 @@ def _load_native():
         ctypes.c_int,
         ctypes.c_int,
     ]
+    lib.ofps_av_encode_test_events.restype = ctypes.c_int
+    lib.ofps_av_encode_test_events.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_float,
+        ctypes.c_float,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -81,6 +95,7 @@ def encode_test_video(
     pattern: str = "sine",
     move_start: int = 0,
     move_stop: int = 1 << 30,
+    events=None,
 ) -> None:
     """Write a synthetic MPEG-4 clip (translating texture) for tests.
 
@@ -88,10 +103,17 @@ def encode_test_video(
     (aperiodic value noise — required for optical-flow tests, where the
     periodic sines alias the block-matching search).
     ``move_start``/``move_stop`` bound the moving frames (CCTV-style motion
-    events: still -> moving -> still).
+    events: still -> moving -> still); ``events`` instead takes a LIST of
+    (start, stop) windows for multi-event scenario clips (the 30-min CCTV
+    evaluation shape, report.tex:919).
     """
     lib = _load_native()
-    rc = lib.ofps_av_encode_test_ex(
+    if events is None:
+        events = [(move_start, move_stop)]
+    n = len(events)
+    starts = (ctypes.c_int * n)(*[int(a) for a, _ in events])
+    stops = (ctypes.c_int * n)(*[int(b) for _, b in events])
+    rc = lib.ofps_av_encode_test_events(
         path.encode(),
         width,
         height,
@@ -100,8 +122,9 @@ def encode_test_video(
         dx,
         dy,
         1 if pattern == "noise" else 0,
-        move_start,
-        move_stop,
+        starts,
+        stops,
+        n,
     )
     if rc != 0:
         raise RuntimeError(f"test-clip encoder failed ({rc})")

@@ -28,9 +28,11 @@ from ofps_tpu.decoders.base import DecodedFrame, register
 class CvDecoder:
     """Decoder computing dense flow on-device from any libav video source.
 
-    Properties parity with cv-decoder (grid size cap, contrast mask toggle);
-    ``use_rlof`` has no TPU analog — the pyramid kernel replaces both OpenCV
-    algorithms.
+    Properties parity with cv-decoder (grid size cap, contrast mask toggle,
+    ``use_rlof`` algorithm switch, lib.rs:45,169-186): ``use_rlof=False``
+    runs the SAD block-matching pyramid (the Farneback slot),
+    ``use_rlof=True`` runs the robust dense-LK flow
+    (:mod:`ofps_tpu.ops.flow_lk`, the RLOF slot).
     """
 
     def __init__(
@@ -41,7 +43,9 @@ class CvDecoder:
         levels: int = 5,
         mask_threshold: float = 20.0,
         mask_dilate: int = 2,
+        use_rlof: bool = False,
     ):
+        self._use_rlof = use_rlof
         self._av = AvDecoder(input_path)
         self._grid_max_dim = grid_max_dim
         self._use_mask = use_contrast_mask
@@ -69,7 +73,24 @@ class CvDecoder:
             [(xs + 0.5) / gw, (ys + 0.5) / gh], axis=-1
         ).reshape(-1, 2).astype(np.float32)
 
-        params = FlowParams(levels=self._levels)
+        if self._use_rlof:
+            from ofps_tpu.ops.flow_lk import LKParams, dense_flow_lk
+
+            lk_params = LKParams(levels=self._levels)
+
+            def flow_fn(prev_gray, gray, prev_flow):
+                return dense_flow_lk(
+                    prev_gray, gray, lk_params, init_flow=prev_flow
+                )
+
+        else:
+            params = FlowParams(levels=self._levels)
+
+            def flow_fn(prev_gray, gray, prev_flow):
+                return dense_flow(
+                    prev_gray, gray, params, init_flow=prev_flow
+                )
+
         sy = _axis_scatter_matrix(h, gh)  # (H, gh)
         sx = _axis_scatter_matrix(w, gw)  # (W, gw)
         use_mask = self._use_mask
@@ -78,7 +99,7 @@ class CvDecoder:
 
         @jax.jit
         def step(prev_gray, gray, prev_flow):
-            flow = dense_flow(prev_gray, gray, params, init_flow=prev_flow)
+            flow = flow_fn(prev_gray, gray, prev_flow)
             if use_mask:
                 # Contrast mask on the *previous* frame (the flow's source):
                 # Sobel mixed derivative -> threshold -> disk dilation

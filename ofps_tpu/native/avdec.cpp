@@ -230,6 +230,10 @@ static float value_noise(float x, float y) {
 int ofps_av_encode_test_ex(const char *path, int w, int h, int nframes,
                            int gop, float dx, float dy, int pattern,
                            int move_start, int move_stop);
+int ofps_av_encode_test_events(const char *path, int w, int h, int nframes,
+                               int gop, float dx, float dy, int pattern,
+                               const int *starts, const int *stops,
+                               int n_events);
 
 int ofps_av_encode_test(const char *path, int w, int h, int nframes, int gop,
                         float dx, float dy) {
@@ -242,6 +246,17 @@ int ofps_av_encode_test(const char *path, int w, int h, int nframes, int gop,
 int ofps_av_encode_test_ex(const char *path, int w, int h, int nframes,
                            int gop, float dx, float dy, int pattern,
                            int move_start, int move_stop) {
+  return ofps_av_encode_test_events(path, w, h, nframes, gop, dx, dy, pattern,
+                                    &move_start, &move_stop, 1);
+}
+
+// Multiple motion-event windows (the 30-min CCTV burglary scenario of the
+// reference evaluation, docs/report.tex:919: long still spans punctuated by
+// short motion events).
+int ofps_av_encode_test_events(const char *path, int w, int h, int nframes,
+                               int gop, float dx, float dy, int pattern,
+                               const int *starts, const int *stops,
+                               int n_events) {
   AVFormatContext *fmt = nullptr;
   if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 || !fmt)
     return -1;
@@ -292,7 +307,10 @@ int ofps_av_encode_test_ex(const char *path, int w, int h, int nframes,
   float ox = 0.0f, oy = 0.0f;
   for (int t = 0; t < nframes; t++) {
     av_frame_make_writable(fr);
-    if (t >= move_start && t < move_stop) {
+    bool moving = false;
+    for (int e = 0; e < n_events; e++)
+      if (t >= starts[e] && t < stops[e]) moving = true;
+    if (moving) {
       ox += dx;
       oy += dy;
     }

@@ -82,6 +82,16 @@ def main(outdir: str = None):
     encode_test_video(clip, 320, 240, frames=30, gop=60, dx=1.5, dy=0.0,
                       pattern="noise")
 
+    # CCTV-scale scenario: two minutes @30fps, four motion events over long
+    # still spans (the reference's 30-min burglary evaluation shape,
+    # docs/report.tex:919; GoP 240 like its Pi camera source).
+    cctv = os.path.join(outdir, "cctv.avi")
+    encode_test_video(
+        cctv, 320, 240, frames=3600, gop=240, dx=1.5, dy=0.5,
+        pattern="noise",
+        events=[(400, 460), (1190, 1310), (2230, 2275), (3100, 3220)],
+    )
+
     configs = {
         # BASELINE.json: "Almeida dense flow on one synthetic sample
         # (samples/synthetic_almeida_gt.json, ... GT EPE check)"
@@ -121,6 +131,16 @@ def main(outdir: str = None):
                          "properties": {"target_motion": 0.003}},
             "settings": {"max_frame_gap": 10, "min_frames": 3},
             "output": {"ranges_csv": os.path.join(outdir, "ranges.csv")},
+        },
+        # CCTV event-detection scenario (report.tex:919 mirror): all four
+        # events must produce ranges, nothing outside them.
+        "cctv_detect.json": {
+            "app": "detection",
+            "decoder": {"input": cctv},
+            "detector": {"name": "block_motion",
+                         "properties": {"target_motion": 0.003}},
+            "settings": {"max_frame_gap": 10, "min_frames": 5},
+            "output": {"ranges_csv": os.path.join(outdir, "cctv_ranges.csv")},
         },
         # "Homography-estimator camera rotation tracking on real-world
         # videos (samples/real_world.json)" — point at any user video.

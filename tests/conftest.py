@@ -36,3 +36,9 @@ def pytest_sessionstart(session):
     assert jax.devices()[0].platform == "cpu", (
         "tests must run on the virtual CPU mesh, got " + repr(jax.devices())
     )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running scenario tests (CCTV-scale clips)"
+    )

@@ -447,3 +447,53 @@ def test_decoder_feed_early_stop_joins_worker():
     feed.stop()
     assert time.perf_counter() - t0 < 2.0, "stop() stalled"
     assert not feed._thread.is_alive(), "decoder thread leaked"
+
+
+def test_run_batch_with_ground_truth(tmp_path):
+    """B streams with per-stream GT: per-stream stats CSVs + avg errors.
+
+    The batch-scale version of the reference's multi-config tracking
+    evaluation (tracking/mod.rs:756-1028).
+    """
+    from ofps_tpu.apps.batch import run_batch
+
+    cam = StandardCamera.create(1.0, 90.0)
+    schedules = [(0.0, 0.0, 0.4), (0.3, 0.0, 0.0), (0.0, -0.3, 0.2),
+                 (0.1, 0.1, -0.1)]
+    inputs, gts = [], []
+    n = 5
+    for si, (r, p, y) in enumerate(schedules):
+        q = euler_deg(r, p, y)
+        flow = synthetic_field(cam, q)
+        keep = np.asarray(flow.mask) > 0.5
+        mvec = str(tmp_path / f"in{si}.mvec")
+        with open(mvec, "wb") as f:
+            write_mvec_frame(f, np.zeros((0, 2)), np.zeros((0, 2)))
+            for _ in range(n - 1):
+                write_mvec_frame(
+                    f, np.asarray(flow.pos)[keep], np.asarray(flow.motion)[keep]
+                )
+        gt = str(tmp_path / f"gt{si}.csv")
+        gtmod.write_ground_truth(gt, _gt_rows(np.asarray(q), n))
+        inputs.append(mvec)
+        gts.append(gt)
+
+    res = run_batch(
+        inputs,
+        estimators=[{"name": "almeida", "properties": {"num_iters": 64}}],
+        detector=None,
+        camera_aspect=1.0,
+        camera_fov_y=90.0,
+        ground_truths=gts,
+        stats_csv_prefix=str(tmp_path / "bstats_"),
+    )
+    assert res.frames == n and res.streams == 4
+    # Every stream tracked its own schedule within the usual 10% gate.
+    for si, (r, p, y) in enumerate(schedules):
+        avg = res.gt_avg_err[(si, "almeida")]
+        mag = math.radians(max(abs(r), abs(p), abs(y)))
+        assert avg[0] < 0.1 * mag + 1e-4, (si, avg)
+        path = tmp_path / f"bstats_s{si}_almeida.csv"
+        assert path.exists()
+        lines = path.read_text().strip().splitlines()
+        assert len(lines) == n + 1  # header + n frames

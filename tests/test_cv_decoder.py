@@ -66,3 +66,19 @@ def test_cv_decoder_contrast_mask_drops_flat_cells(tmp_path):
     unmasked.process_frame()
     g = unmasked.process_frame()
     assert len(g.pos) > 0
+
+
+def test_cv_decoder_rlof_recovers_translation(clip):
+    # The second flow algorithm (use_rlof, cv-decoder lib.rs:45,169-186):
+    # robust dense LK must recover the same clip motion.
+    d = create_decoder(clip, plugin="cv", levels=3, use_rlof=True)
+    d.process_frame()
+    meds = []
+    for _ in range(4):
+        f = d.process_frame()
+        assert f is not None and f.has_mvs
+        meds.append(
+            [np.median(f.motion[:, 0]) * 128, np.median(f.motion[:, 1]) * 96]
+        )
+    med = np.median(np.array(meds), axis=0)
+    np.testing.assert_allclose(med, [2.0, -1.0], atol=0.5)

@@ -164,3 +164,41 @@ def test_low_contrast_bf16_vs_f32_cost_operands():
         inner = np.asarray(f)[20:-20, 20:-20]
         epe = np.linalg.norm(inner - np.asarray([-1.0, 2.0]), axis=-1).mean()
         assert epe < 1.0, epe
+
+
+def test_dense_flow_lk_shift_recovery():
+    # Robust dense LK (the RLOF-class second algorithm): subpixel shift on
+    # the aperiodic noise texture.
+    from scipy.ndimage import gaussian_filter
+
+    from ofps_tpu.ops.flow_lk import LKParams, dense_flow_lk
+
+    rng = np.random.default_rng(3)
+    base = gaussian_filter(
+        rng.uniform(0, 255, (140, 260)).astype(np.float32), 1.2
+    ) * 3
+    i1 = jnp.asarray(base[:, 6:200])
+    i2 = jnp.asarray(base[:, 3:197])  # +3 px
+    f = dense_flow_lk(i1, i2, LKParams(levels=3))
+    inner = np.asarray(f)[16:-16, 16:-16]
+    assert abs(np.median(inner[..., 0]) - 3.0) < 0.25
+    assert abs(np.median(inner[..., 1])) < 0.25
+
+
+def test_dense_flow_lk_robust_to_outlier_patch():
+    # A corrupted block in i2 must not drag the surrounding flow (the
+    # Geman-McClure reweighting at work).
+    from scipy.ndimage import gaussian_filter
+
+    from ofps_tpu.ops.flow_lk import LKParams, dense_flow_lk
+
+    rng = np.random.default_rng(4)
+    base = gaussian_filter(
+        rng.uniform(0, 255, (140, 260)).astype(np.float32), 1.2
+    ) * 3
+    i1 = np.array(base[:, 6:200])
+    i2 = np.array(base[:, 4:198])  # +2 px
+    i2[40:70, 60:100] = rng.uniform(0, 255, (30, 40))  # occluder
+    f = dense_flow_lk(jnp.asarray(i1), jnp.asarray(i2), LKParams(levels=3))
+    ring = np.asarray(f)[20:36, 40:120, 0]  # just above the occluder
+    assert abs(np.median(ring) - 2.0) < 0.35
