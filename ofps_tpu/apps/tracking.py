@@ -28,6 +28,12 @@ from ofps_tpu.pipeline.runtime import DecoderFeed, PerfStats, RealtimeTimer
 class KeyframeKeeper:
     """Pose-diversity keyframe set (tracking/worker.rs:110-150 semantics).
 
+    The reference keeps frames WITH their textures for the sphere-panorama
+    overlay; the headless equivalent keeps the pose-stamped frame payload
+    (decoded image, when the decoder provides one) and exports the set as
+    ``keyframes.csv`` + per-keyframe PNGs — the same pose-diverse gallery a
+    downstream renderer would consume.
+
     When over capacity, evicts the frame whose summed angular distance to
     its 5 nearest kept poses is smallest (the most redundant view); with
     two or fewer kept frames, the oldest goes.
@@ -46,16 +52,35 @@ class KeyframeKeeper:
         if len(self.frames) <= 2:
             self.frames.pop(0)
             return
-        best_i, best_d = 0, None
-        for i, (_, rot, _) in enumerate(self.frames):
-            dists = sorted(
-                gtmod._qangle(gtmod.rotation_to(r2, rot))
-                for _, r2, _ in self.frames
-            )
-            d = sum(dists[:5])
-            if best_d is None or d < best_d:
-                best_i, best_d = i, d
-        self.frames.pop(best_i)
+        n = len(self.frames)
+        # Pairwise pose distances once (n <= max_frames+1, vectorized):
+        # O(n^2) total per add instead of the old per-candidate sort.
+        rots = np.stack([r for _, r, _ in self.frames])  # (n, 4)
+        dots = np.abs(rots @ rots.T)
+        ang = 2.0 * np.arccos(np.clip(dots, -1.0, 1.0))
+        k = min(5, n)
+        nearest = np.partition(ang, k - 1, axis=1)[:, :k].sum(axis=1)
+        self.frames.pop(int(np.argmin(nearest)))
+
+    def export(self, prefix: str) -> str:
+        """Write ``{prefix}keyframes.csv`` (+ PNG per image payload)."""
+        import csv
+        import os
+
+        os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
+        path = prefix + "keyframes.csv"
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow("frame rot_w rot_i rot_j rot_k image".split())
+            for idx, rot, payload in self.frames:
+                img = ""
+                if payload is not None:
+                    img = f"{prefix}kf_{idx:06d}.png"
+                    from ofps_tpu.apps.viz import save_png
+
+                    save_png(img, np.asarray(payload))
+                w.writerow([idx, *[f"{v:.8f}" for v in rot], img])
+        return path
 
 
 @dataclasses.dataclass
@@ -143,7 +168,11 @@ def run_tracking(
                 track.translations.append(np.asarray(out.delta_tr[t][0]))
                 track.poses_rot.append(np.asarray(out.rot[t][0]))
                 track.poses_pos.append(np.asarray(out.pos[t][0]))
-                track.keyframes.add(frames, track.poses_rot[-1])
+                track.keyframes.add(
+                    frames,
+                    track.poses_rot[-1],
+                    payload=getattr(frame, "frame", None),
+                )
             frames += 1
             timer.tick()
             if max_frames is not None and frames >= max_frames:
@@ -192,6 +221,8 @@ def run_tracking_config(config: Dict[str, Any]) -> TrackingResult:
             gtmod.write_stats_csv(
                 out["stats_csv_prefix"] + track.name + ".csv", err, pose
             )
+        if out.get("keyframes_prefix"):
+            track.keyframes.export(out["keyframes_prefix"] + track.name + "_")
         if out.get("plot_prefix"):
             from ofps_tpu.apps.viz import plot_tracking
 

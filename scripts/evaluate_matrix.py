@@ -1,0 +1,273 @@
+"""Reference-scale evaluation matrix: estimators x clips x flow sources.
+
+The reference's quantitative evaluation runs 4 estimators (+RANSAC/LMedS
+variants) x 8 Blender clips x 3 motion-vector sources and publishes the
+per-config average rotation error and runtime (docs/statistics/err_*.csv,
+perf.csv; report.tex:925-1186).  This harness reproduces that shape with
+generated data:
+
+* clips  — 8 seeded rotation schedules; for the pixel-based sources each
+  clip is RENDERED by warping a multi-octave texture through the exact
+  per-frame rotation field (so dense-flow algorithms see real imagery with
+  exact GT).
+* sources — "gt-mv" (exact synthetic fields = the codec-MV analog),
+  "block" (SAD pyramid dense flow), "rlof" (robust dense LK), each
+  densified to the reference's <=150 grid.
+* estimators — almeida(+RANSAC), homography (RANSAC/LMedS), multiview
+  (5-point RANSAC), libmv 7-point: 7 configs -> 168 evaluations.
+
+Writes ``docs_stats/err_<source>.csv`` (clips x estimators, avg deg/frame),
+``docs_stats/perf_<source>.csv`` (ms/frame) and a summary markdown.
+
+Run on the TPU:  python scripts/evaluate_matrix.py [outdir]
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+)
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+H = W = 288  # rendered clip resolution
+T = 10  # frames per clip
+GRID = 96  # densified grid max dim (reference: <=150; scaled to the render)
+
+ESTIMATORS = [
+    ("almeida", "almeida", {"use_ransac": False}),
+    ("almeida-ransac", "almeida", {}),
+    ("homography-ransac", "homography", {}),
+    ("homography-lmeds", "homography", {"use_ransac": False}),
+    ("multiview-ransac", "multiview", {}),
+    ("libmv-7pt", "libmv", {"algo_points": 7}),
+    ("libmv-8pt", "libmv", {"algo_points": 8}),
+]
+
+
+def make_schedules(n_clips=8, seed=0):
+    """Per-clip per-frame (roll, pitch, yaw) delta schedules in degrees."""
+    rng = np.random.default_rng(seed)
+    clips = []
+    for c in range(n_clips):
+        # Mix of static spans, pans and combined-axis moves, like the
+        # reference's clip set (half "static-ish", half moving).
+        mag = 0.2 + 0.8 * rng.random()
+        axes = rng.random(3) < 0.7
+        deltas = []
+        for t in range(T):
+            on = 1.0 if (t % 4 != 3 or c % 2 == 0) else 0.0
+            d = mag * on * (axes * rng.uniform(0.5, 1.0, 3))
+            deltas.append(tuple(d))
+        clips.append(deltas)
+    return clips
+
+
+def render_clip(cam, deltas, seed):
+    """Render T+1 frames by warping a texture through the rotation fields."""
+    from scipy.ndimage import gaussian_filter
+
+    from ofps_tpu.core import quat
+    from ofps_tpu.ops.image import warp_bilinear
+    from synthetic import euler_deg
+
+    rng = np.random.default_rng(seed)
+    tex = sum(
+        gaussian_filter(rng.uniform(-1, 1, (H, W)), s).astype(np.float32) * s
+        for s in (1, 2, 4, 8, 16)
+    )
+    tex = (tex - tex.min()) / (tex.max() - tex.min()) * 255.0
+
+    ys, xs = np.meshgrid(
+        (np.arange(H) + 0.5) / H, (np.arange(W) + 0.5) / W, indexing="ij"
+    )
+    pts = jnp.asarray(
+        np.stack([xs, ys], axis=-1).reshape(-1, 2).astype(np.float32)
+    )
+
+    frames = [jnp.asarray(tex)]
+    qs = []
+    for d in deltas:
+        q = euler_deg(*d)
+        qs.append(np.asarray(q))
+        # Screen-space displacement of every pixel under the FRAME delta:
+        # new frame = previous frame warped backwards along the field.
+        delta = cam.delta(pts, jnp.asarray(quat_to_m4(np.asarray(q))))
+        flow_px = np.asarray(delta).reshape(H, W, 2) * np.asarray(
+            [W, H], np.float32
+        )
+        frames.append(
+            jnp.asarray(
+                np.asarray(warp_bilinear(frames[-1], jnp.asarray(flow_px)))
+            )
+        )
+    return frames, qs
+
+
+def quat_to_m4(q):
+    from ofps_tpu.core import quat as qm
+
+    return np.asarray(qm.to_matrix4(jnp.asarray(q, jnp.float32)))
+
+
+def main(outdir=None):
+    from ofps_tpu.core.camera import StandardCamera
+    from ofps_tpu.core.motion import (
+        field_to_sparse,
+        grid_downsample_uv,
+    )
+    from ofps_tpu.estimators.base import create_estimator
+    from ofps_tpu.ops.flow_lk import LKParams, dense_flow_lk
+    from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow_warm
+    from ofps_tpu.apps import gt as gtmod
+    from synthetic import synthetic_field
+
+    outdir = outdir or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs_stats",
+    )
+    os.makedirs(outdir, exist_ok=True)
+    cam = StandardCamera.create(1.0, 90.0)
+    schedules = make_schedules()
+
+    # --- flow sources -----------------------------------------------------
+    @jax.jit
+    def block_flow_grid(f0, f1):
+        (u, v), _ = dense_flow_warm(f0, f1, FlowParams(levels=4))
+        return grid_downsample_uv(u, v, GRID, GRID, norm_wh=(W, H))
+
+    @jax.jit
+    def lk_flow_grid(f0, f1):
+        f = dense_flow_lk(f0, f1, LKParams(levels=4))
+        return grid_downsample_uv(
+            f[..., 0], f[..., 1], GRID, GRID, norm_wh=(W, H)
+        )
+
+    def source_fields(name, clip_idx):
+        """Per-frame SparseFlow list for one clip through one source."""
+        deltas = schedules[clip_idx]
+        if name == "gt-mv":
+            from synthetic import euler_deg
+
+            return [
+                synthetic_field(cam, euler_deg(*d), capacity=GRID * GRID)
+                for d in deltas
+            ]
+        frames, _ = render_clip(cam, deltas, seed=100 + clip_idx)
+        fn = block_flow_grid if name == "block" else lk_flow_grid
+        out = []
+        for t in range(T):
+            grid = fn(frames[t], frames[t + 1])
+            out.append(field_to_sparse(grid))
+        return out
+
+    results = {}  # (source, clip, est) -> (avg_err_deg, ms_per_frame)
+    sources = ["gt-mv", "block", "rlof"]
+    # One jitted step per estimator config, shared across sources and clips
+    # (all fields have the same GRID*GRID capacity -> one compile each).
+    jitted = {}
+    warm_flow = synthetic_field(
+        cam, _truth_quats(schedules[0])[0], capacity=GRID * GRID
+    )
+    for label, name, props in ESTIMATORS:
+        est = create_estimator(name, **props)
+        fn = jax.jit(est.estimate)
+        # Warm the compile outside the timed loops.
+        r, _, _ = fn(est.init(), warm_flow, cam, jax.random.PRNGKey(0))
+        jax.block_until_ready(r)
+        jitted[label] = (est, fn)
+    for source in sources:
+        for ci in range(len(schedules)):
+            fields = source_fields(source, ci)
+            truth_qs = [
+                np.asarray(qq)
+                for qq in _truth_quats(schedules[ci])
+            ]
+            for label, name, props in ESTIMATORS:
+                est, fn = jitted[label]
+                key = jax.random.PRNGKey(7)
+                state = est.init()
+                transforms = []
+                t0 = time.perf_counter()
+                for fl in fields:
+                    key, sub = jax.random.split(key)
+                    r, tr, state = fn(state, fl, cam, sub)
+                    transforms.append(np.asarray(jax.device_get(r)))
+                ms = (time.perf_counter() - t0) / T * 1e3
+                errs = [
+                    gtmod._qangle(gtmod.rotation_to(q_est, q_gt))
+                    for q_est, q_gt in zip(transforms, truth_qs)
+                ]
+                avg_deg = float(np.degrees(np.mean(errs)))
+                results[(source, ci, label)] = (avg_deg, ms)
+                print(
+                    f"{source:6s} clip{ci} {label:18s} "
+                    f"err={avg_deg:8.4f} deg  {ms:7.2f} ms/frame",
+                    flush=True,
+                )
+
+    # --- CSV export (docs/statistics layout) ------------------------------
+    labels = [l for l, _, _ in ESTIMATORS]
+    for source in sources:
+        with open(os.path.join(outdir, f"err_{source}.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["clip"] + labels)
+            for ci in range(len(schedules)):
+                w.writerow(
+                    [ci]
+                    + [f"{results[(source, ci, l)][0]:.5f}" for l in labels]
+                )
+        with open(os.path.join(outdir, f"perf_{source}.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["clip"] + labels)
+            for ci in range(len(schedules)):
+                w.writerow(
+                    [ci]
+                    + [f"{results[(source, ci, l)][1]:.3f}" for l in labels]
+                )
+
+    with open(os.path.join(outdir, "SUMMARY.md"), "w") as f:
+        f.write(
+            "# Evaluation matrix summary\n\n"
+            f"{len(sources)} sources x {len(schedules)} clips x "
+            f"{len(labels)} estimator configs = "
+            f"{len(sources)*len(schedules)*len(labels)} evaluations "
+            f"(backend: {jax.default_backend()}).\n\n"
+            "ms/frame here is WALL time of the sequential per-frame loop "
+            "and is dominated by the ~29 ms axon tunnel dispatch per call; "
+            "device-time per-estimator numbers are in PARITY_BENCH.md "
+            "(scan-chained, dispatch amortized).\n\n"
+            "| source | estimator | avg err (deg/frame) | ms/frame |\n"
+            "|---|---|---|---|\n"
+        )
+        for source in sources:
+            for l in labels:
+                errs = [results[(source, ci, l)][0] for ci in range(len(schedules))]
+                mss = [results[(source, ci, l)][1] for ci in range(len(schedules))]
+                f.write(
+                    f"| {source} | {l} | {np.mean(errs):.4f} | "
+                    f"{np.mean(mss):.2f} |\n"
+                )
+    print(f"wrote {outdir}")
+
+
+def _truth_quats(deltas):
+    from synthetic import euler_deg
+
+    return [euler_deg(*d) for d in deltas]
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

@@ -497,3 +497,27 @@ def test_run_batch_with_ground_truth(tmp_path):
         assert path.exists()
         lines = path.read_text().strip().splitlines()
         assert len(lines) == n + 1  # header + n frames
+
+
+def test_keyframe_export_with_payload(tmp_path):
+    from ofps_tpu.apps.tracking import KeyframeKeeper
+
+    kk = KeyframeKeeper(max_frames=3)
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[..., 3] = 255
+    for i in range(6):
+        q = np.asarray(euler_deg(0.0, 0.0, 3.0 * i), np.float64)
+        kk.add(i, q, payload=img if i % 2 == 0 else None)
+    assert len(kk.frames) == 3
+    prefix = str(tmp_path / "kf" / "t_")
+    path = kk.export(prefix)
+    lines = open(path).read().strip().splitlines()
+    assert lines[0].startswith("frame,rot_w")
+    assert len(lines) == 4
+    # Rows referencing an image payload wrote the PNG next to the CSV.
+    import csv as _csv
+
+    with open(path) as f:
+        for row in _csv.DictReader(f):
+            if row["image"]:
+                assert os.path.exists(row["image"])
