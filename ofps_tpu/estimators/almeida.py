@@ -143,24 +143,35 @@ def solve_ypr_ransac(
         fit_pos, fit_mot, fit_w
     )  # (H, 4)
 
+    # Shared eval subset, GATHERED once (not masked dense): per-hypothesis
+    # evaluation tensors shrink from (H, N, 2) to (H, S, 2) — at the 1080p
+    # grid (N=12600, S=1000) that is ~12x less HBM traffic for identical
+    # scoring (the same subset, so the same counts and winner).
     ev_w = uniform_cap_weights(mask, num_samples)
+    n_eval = min(num_samples, n)
+    rank = ev_w * 2.0 - jnp.arange(n, dtype=jnp.float32) / n
+    _, eidx = jax.lax.top_k(rank, n_eval)
+    pos_e, mot_e, w_e = pos[eidx], motion[eidx], ev_w[eidx]
 
     def eval_one(fit_q):
         mat = quat.to_matrix4(quat.inverse(fit_q))
-        delta = camera.delta(pos, mat)
-        sample_pt = pos + delta
-        vec = motion - delta
+        delta = camera.delta(pos_e, mat)
+        sample_pt = pos_e + delta
+        vec = mot_e - delta
         ang = camera.point_angle(sample_pt)
         cosang = jnp.cos(ang)
         err2 = jnp.sum((vec * cosang) ** 2, axis=-1)
-        return (err2 <= target * target) & (ev_w > 0.5)
+        return (err2 <= target * target) & (w_e > 0.5)
 
-    inliers = jax.vmap(eval_one)(fits)  # (H, N) bool
+    inliers = jax.vmap(eval_one)(fits)  # (H, S) bool
     counts = jnp.sum(inliers, axis=-1)
     best = jnp.argmax(counts)
 
-    # Final refit on the winning inlier set (lib.rs:246-250).
-    best_w = inliers[best].astype(jnp.float32)
+    # Final refit on the winning inlier set (lib.rs:246-250), scattered
+    # back to the full index space.
+    best_w = jnp.zeros((n,), jnp.float32).at[eidx].set(
+        inliers[best].astype(jnp.float32)
+    )
     refit = solve_ypr_weighted(camera, pos, motion, best_w)
     return jnp.where(counts[best] >= 3, refit, quat.identity())
 
