@@ -37,6 +37,9 @@ class BatchResult:
     poses_pos: List[np.ndarray]
     detections: Optional[np.ndarray]  # (T, B) bool, if a detector ran
     perf: PerfStats
+    # (T, B) bool: stream had a live frame at step t (False once ended,
+    # when drop_ended keeps the batch going).
+    active: Optional[np.ndarray] = None
     estimator_names: List[str] = dataclasses.field(default_factory=list)
     # Per-frame history, recorded when GT evaluation is requested:
     # delta_rot[e][t]: (B, 4); rot[e][t]: (B, 4).
@@ -49,6 +52,25 @@ class BatchResult:
         s = self.perf.summary().get("step", {})
         total = s.get("total_ms", 0.0) / 1e3
         return self.frames * self.streams / total if total else 0.0
+
+    def motion_ranges(self, stream: int):
+        """Per-stream detected-motion frame ranges (detection.rs:196-212
+        accumulation semantics, before coalescing)."""
+        if self.detections is None:
+            return []
+        det = self.detections[:, stream]
+        if self.active is not None:
+            det = det & self.active[:, stream]
+        out, start = [], None
+        for t, d in enumerate(det):
+            if d and start is None:
+                start = t
+            elif not d and start is not None:
+                out.append((start, t - 1))
+                start = None
+        if start is not None:
+            out.append((start, len(det) - 1))
+        return out
 
 
 def run_batch(
@@ -64,6 +86,7 @@ def run_batch(
     shardings=None,
     ground_truths: Optional[List[Optional[str]]] = None,
     stats_csv_prefix: Optional[str] = None,
+    drop_ended: bool = False,
 ) -> BatchResult:
     """Run every input stream in lockstep through one batched device step.
 
@@ -77,6 +100,11 @@ def run_batch(
     with the same host math as the single-stream tracking app
     (tracking/mod.rs:756-1028 semantics at batch scale) and written to
     ``{stats_csv_prefix}s{stream}_{estimator}.csv`` when a prefix is given.
+
+    ``drop_ended=True`` keeps the batch running after individual streams
+    end: an ended stream feeds an empty (all-masked) flow, so its pose
+    freezes and its detector goes quiet, while live streams continue until
+    ALL end (the serving semantics; default preserves strict lockstep).
     """
     ests = [
         create_estimator(e["name"], **(e.get("properties") or {}))
@@ -101,6 +129,7 @@ def run_batch(
     want_gt = ground_truths is not None and any(ground_truths)
     dr_hist: List[List[np.ndarray]] = [[] for _ in ests]
     rot_hist: List[List[np.ndarray]] = [[] for _ in ests]
+    active_hist: List[List[bool]] = []
     frames = 0
 
     try:
@@ -109,20 +138,30 @@ def run_batch(
                 batch = []
                 for it in iters:
                     batch.append(next(it, None))
-                if any(f is None for f in batch):
+                live = [f is not None for f in batch]
+                if not all(live):
                     ended = [
                         inputs[i] for i, f in enumerate(batch) if f is None
                     ]
-                    if not all(f is None for f in batch):
-                        _LOG.info(
-                            "run_batch: stream(s) %s ended at frame %d; "
-                            "longer streams are truncated (lockstep batch)",
-                            ended,
-                            frames,
-                        )
-                    break
+                    if drop_ended and any(live):
+                        pass  # masked empty flows keep the step shape
+                    else:
+                        if any(live):
+                            _LOG.info(
+                                "run_batch: stream(s) %s ended at frame %d; "
+                                "longer streams are truncated (lockstep "
+                                "batch; pass drop_ended=True to continue)",
+                                ended,
+                                frames,
+                            )
+                        break
+                active_hist.append(live)
                 flows = [
                     SparseFlow.from_arrays(f.pos, f.motion, capacity)
+                    if f is not None
+                    else SparseFlow.from_arrays(
+                        np.zeros((0, 2)), np.zeros((0, 2)), capacity
+                    )
                     for f in batch
                 ]
                 flow = SparseFlow(
@@ -179,6 +218,7 @@ def run_batch(
         poses_pos=[np.asarray(jax.device_get(p)) for p in state.pos],
         detections=np.stack(detections) if detections else None,
         perf=perf,
+        active=np.asarray(active_hist, bool) if active_hist else None,
         estimator_names=[e.name for e in ests],
         delta_rot=dr_hist if want_gt else None,
         rot_hist=rot_hist if want_gt else None,

@@ -129,10 +129,13 @@ def run_tracking(
     realtime: bool = False,
     max_frames: Optional[int] = None,
     seed: int = 0,
+    want_frames: bool = False,
 ) -> TrackingResult:
     """Track camera motion with every listed estimator on one stream.
 
     ``estimators``: [{"name": ..., "properties": {...}}, ...].
+    ``want_frames=True`` asks the decoder for RGBA frames so keyframes
+    carry image payloads (keyframe gallery / panorama export).
     """
     insts = [
         _estimator_with_props(e["name"], e.get("properties") or {})
@@ -145,7 +148,7 @@ def run_tracking(
     step = jax.jit(pipe.step_from_flow)
 
     decoder = create_decoder(input_path, decoder_plugin)
-    feed = DecoderFeed(decoder)
+    feed = DecoderFeed(decoder, want_frames=want_frames)
     timer = RealtimeTimer(decoder.get_framerate() if realtime else None)
     perf = PerfStats()
     tracks = [EstimatorTrack(name=i.name) for i in insts]
@@ -199,6 +202,7 @@ def run_tracking_config(config: Dict[str, Any]) -> TrackingResult:
                     "perf_csv": "...", "plot_prefix": "..."}}
     """
     dec = config.get("decoder", {})
+    out_cfg = config.get("output", {})
     res = run_tracking(
         dec["input"],
         config.get("estimators", [{"name": "almeida"}]),
@@ -207,6 +211,9 @@ def run_tracking_config(config: Dict[str, Any]) -> TrackingResult:
         decoder_plugin=dec.get("plugin"),
         realtime=bool(config.get("realtime_processing", False)),
         max_frames=config.get("max_frames"),
+        want_frames=bool(
+            out_cfg.get("keyframes_prefix") or out_cfg.get("panorama_prefix")
+        ),
     )
 
     truth = None
@@ -223,6 +230,17 @@ def run_tracking_config(config: Dict[str, Any]) -> TrackingResult:
             )
         if out.get("keyframes_prefix"):
             track.keyframes.export(out["keyframes_prefix"] + track.name + "_")
+        if out.get("panorama_prefix"):
+            from ofps_tpu.apps.viz import keyframe_panorama, save_png
+
+            cam = StandardCamera.create(
+                float(config.get("camera_aspect", 16.0 / 9.0)),
+                float(config.get("camera_fov_y", 90.0)),
+            )
+            save_png(
+                out["panorama_prefix"] + track.name + ".png",
+                keyframe_panorama(track.keyframes.frames, cam),
+            )
         if out.get("plot_prefix"):
             from ofps_tpu.apps.viz import plot_tracking
 

@@ -145,3 +145,77 @@ def plot_tracking(
     fig.tight_layout()
     fig.savefig(path, dpi=110)
     plt.close(fig)
+
+
+def keyframe_panorama(
+    keyframes: Sequence,
+    camera,
+    width: int = 1024,
+    height: int = 512,
+) -> np.ndarray:
+    """Equirectangular panorama stitched from pose-stamped keyframes.
+
+    The headless equivalent of the reference suite's 3D view, which renders
+    each kept frame as a textured quad offset by its estimated camera pose
+    (tracking/mod.rs:274-336 + worker.rs keep_frames).  Every keyframe's
+    image is projected onto the unit sphere through the estimated rotation
+    and painted into a (height, width, 4) RGBA canvas; later keyframes
+    paint over earlier ones where they overlap.
+
+    ``keyframes``: iterable of (frame_idx, rot_wxyz, rgba_image) — entries
+    with image payload ``None`` are skipped.  ``camera``: StandardCamera.
+    """
+    import jax.numpy as jnp
+
+    from ofps_tpu.core import quat
+    from ofps_tpu.core.camera import ROTATE_VIEW
+
+    canvas = np.zeros((height, width, 4), np.uint8)
+
+    # World direction per pano pixel (Z up; the identity camera looks along
+    # -Y in the projection convention, so lon 0 = -Y puts an identity-pose
+    # keyframe at the pano center).
+    lon = (np.arange(width) + 0.5) / width * 2.0 * np.pi - np.pi
+    lat = np.pi / 2.0 - (np.arange(height) + 0.5) / height * np.pi
+    lo, la = np.meshgrid(lon, lat)
+    d_world = np.stack(
+        [np.sin(lo) * np.cos(la), -np.cos(lo) * np.cos(la), np.sin(la)],
+        axis=-1,
+    ).astype(np.float32)
+
+    # Camera forward axis in the projection convention.
+    center = np.asarray(
+        camera.unproject(jnp.asarray([0.5, 0.5], jnp.float32), ROTATE_VIEW.T)
+    )
+    fwd = center / np.linalg.norm(center)
+
+    for _, rot, img in keyframes:
+        if img is None:
+            continue
+        img = np.asarray(img)
+        h, w = img.shape[:2]
+        q = jnp.asarray(np.asarray(rot, np.float32))
+        d_cam = np.asarray(
+            quat.rotate_vec(
+                quat.inverse(q), jnp.asarray(d_world.reshape(-1, 3))
+            )
+        )
+        in_front = d_cam @ fwd > 0.05
+        screen = np.asarray(
+            camera.project(jnp.asarray(d_cam), ROTATE_VIEW)
+        )
+        sx, sy = screen[:, 0], screen[:, 1]
+        ok = (
+            in_front
+            & (sx >= 0.0) & (sx < 1.0) & (sy >= 0.0) & (sy < 1.0)
+        )
+        px = np.clip((sx * w).astype(np.int32), 0, w - 1)
+        py = np.clip((sy * h).astype(np.int32), 0, h - 1)
+        flat = canvas.reshape(-1, 4)
+        src = img[py[ok], px[ok]]
+        if src.shape[-1] == 3:
+            src = np.concatenate(
+                [src, np.full(src.shape[:-1] + (1,), 255, np.uint8)], -1
+            )
+        flat[np.nonzero(ok)[0]] = src
+    return canvas

@@ -521,3 +521,97 @@ def test_keyframe_export_with_payload(tmp_path):
         for row in _csv.DictReader(f):
             if row["image"]:
                 assert os.path.exists(row["image"])
+
+
+def test_run_batch_drop_ended_continues(tmp_path):
+    """Mixed-length streams with drop_ended: live streams keep stepping,
+    ended streams freeze (masked empty flow), per-stream ranges differ."""
+    from ofps_tpu.apps.batch import run_batch
+
+    lens = [4, 8]
+    inputs = []
+    for si, n in enumerate(lens):
+        path = str(tmp_path / f"in{si}.mvec")
+        # moving every frame
+        _write_mvec(path, [True] * n)
+        inputs.append(path)
+
+    res = run_batch(
+        inputs,
+        estimators=[],
+        detector="block_motion",
+        camera_aspect=1.0,
+        camera_fov_y=90.0,
+        drop_ended=True,
+    )
+    assert res.frames == max(lens)
+    assert res.active.shape == (max(lens), 2)
+    assert res.active[:, 0].sum() == lens[0]
+    assert res.active[:, 1].sum() == lens[1]
+    r0 = res.motion_ranges(0)
+    r1 = res.motion_ranges(1)
+    assert r0 == [(0, lens[0] - 1)], r0
+    assert r1 == [(0, lens[1] - 1)], r1
+
+    # Default (strict lockstep) stops at the shortest stream.
+    res2 = run_batch(
+        inputs,
+        estimators=[],
+        detector="block_motion",
+        camera_aspect=1.0,
+        camera_fov_y=90.0,
+    )
+    assert res2.frames == min(lens)
+
+
+def test_keyframe_panorama_places_views_by_yaw(tmp_path):
+    """Solid-color keyframes at different yaws land at distinct longitudes."""
+    from ofps_tpu.apps.viz import keyframe_panorama
+
+    cam = StandardCamera.create(1.0, 90.0)
+    red = np.zeros((8, 8, 4), np.uint8); red[..., 0] = 255; red[..., 3] = 255
+    blue = np.zeros((8, 8, 4), np.uint8); blue[..., 2] = 255; blue[..., 3] = 255
+    kfs = [
+        (0, np.asarray(euler_deg(0.0, 0.0, 0.0), np.float64), red),
+        (1, np.asarray(euler_deg(0.0, 0.0, 90.0), np.float64), blue),
+    ]
+    pano = keyframe_panorama(kfs, cam, width=256, height=128)
+    mid = pano[64]  # equator row
+    # Identity-pose keyframe covers the pano center (lon ~ 0).
+    assert tuple(mid[128][:3]) in [(255, 0, 0), (0, 0, 255)]
+    center_red = mid[118:138, 0].max() > 0 or mid[118:138, 2].max() > 0
+    assert center_red
+    # The two colors occupy different longitude bands 90 deg apart.
+    red_cols = np.nonzero(mid[:, 0] == 255)[0]
+    blue_cols = np.nonzero(mid[:, 2] == 255)[0]
+    assert len(red_cols) > 10 and len(blue_cols) > 10
+    sep = abs(np.median(red_cols) - np.median(blue_cols))
+    assert 40 < sep < 90 or 166 < sep < 216, sep  # ~64 cols = 90 deg (mod wrap)
+    # Poles (extreme latitudes) stay unpainted with a 90 deg FOV.
+    assert pano[0].max() == 0 and pano[-1].max() == 0
+
+
+def test_tracking_config_panorama_export(tmp_path):
+    """run-config with panorama_prefix: keyframes from a real decoded clip
+    stitch into a non-empty equirect PNG (the 3D-view equivalent)."""
+    from ofps_tpu.decoders.av import encode_test_video
+    from ofps_tpu.apps.tracking import run_tracking_config
+
+    clip = str(tmp_path / "clip.avi")
+    encode_test_video(clip, 96, 64, frames=6, gop=30, dx=1.0, pattern="noise")
+    config = {
+        "app": "tracking",
+        "decoder": {"input": clip},
+        "camera_aspect": 1.5,
+        "camera_fov_y": 90.0,
+        "estimators": [{"name": "almeida", "properties": {"num_iters": 16}}],
+        "output": {"panorama_prefix": str(tmp_path / "pano_")},
+    }
+    run_tracking_config(config)
+    pano_path = tmp_path / "pano_almeida.png"
+    assert pano_path.exists()
+    import matplotlib.image as mpimg
+
+    pano = mpimg.imread(str(pano_path))
+    assert pano.shape[:2] == (512, 1024)
+    assert pano[:, :, :3].max() > 0  # something got painted
