@@ -268,12 +268,16 @@ def _dense_flow_impl(
                 if coarse:
                     u = resize_bilinear_matmul(u.astype(jnp.float32), h, w) * 2.0
                     v = resize_bilinear_matmul(v.astype(jnp.float32), h, w) * 2.0
-                flow = jnp.stack([u.astype(jnp.float32), v.astype(jnp.float32)], axis=-1)
-                warped = _warp(b, flow, allow_pallas=on_tpu)
-                flow = flow + _level_refine(
-                    a, warped, search, params.win, params.cost_dtype
+                # Small levels: one whole-image-in-VMEM kernel launch beats
+                # the ~10^3 tiny XLA ops of the wide coarse search.
+                from ofps_tpu.pallas.flow_refine_small import (
+                    flow_refine_small_uv,
                 )
-                u, v = flow[..., 0], flow[..., 1]
+
+                u, v = flow_refine_small_uv(
+                    a, b, u.astype(jnp.float32), v.astype(jnp.float32),
+                    search, params.win,
+                )
             if lvl == 1 or levels == 1:
                 warm_out = (u, v)
         return u, v, warm_out
