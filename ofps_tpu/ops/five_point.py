@@ -242,14 +242,20 @@ def _solve_chart(basis):
         [bracketed, jnp.ones((_EXTRA_SEEDS,), bool)]
     )
 
-    # Newton polish on det M(z) itself (exact function, not the interpolant).
+    # Newton polish on det M(z) itself (the exact function, so the
+    # interpolation conditioning error cancels).  Forward differences: the
+    # batched determinant evaluations dominate the whole solver, and 2
+    # evals/iteration x 3 polishes to the same accuracy as the original
+    # central-difference x4 at half the cost.  (An analytic interpolant
+    # derivative is cheaper still but extrapolates catastrophically for
+    # roots outside the Chebyshev node range.)
     def detz(zz):
         return _det10(_coeff_matrix(basis[None], zz)) / scale
 
-    for _ in range(4):
+    for _ in range(3):
         h = 1e-3 * (1.0 + jnp.abs(z))
         f0 = detz(z)
-        fp = (detz(z + h) - detz(z - h)) / (2.0 * h)
+        fp = (detz(z + h) - f0) / h
         step = f0 / jnp.where(jnp.abs(fp) > 1e-20, fp, 1e-20)
         z = z - jnp.clip(step, -0.1 * (1.0 + jnp.abs(z)), 0.1 * (1.0 + jnp.abs(z)))
 
