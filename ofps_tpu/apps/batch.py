@@ -136,8 +136,22 @@ def run_batch(
         while max_frames is None or frames < max_frames:
             with perf.time("decode"):
                 batch = []
-                for it in iters:
-                    batch.append(next(it, None))
+                for si, it in enumerate(iters):
+                    try:
+                        batch.append(next(it, None))
+                    except Exception:
+                        # Stream-level fault isolation under drop_ended:
+                        # a failing decoder ends ITS stream, the batch
+                        # lives on.  Strict lockstep re-raises (the
+                        # reference's worker-exit failure model).
+                        if not drop_ended:
+                            raise
+                        _LOG.exception(
+                            "run_batch: stream %s failed at frame %d; "
+                            "dropping it (drop_ended)", inputs[si], frames
+                        )
+                        batch.append(None)
+                        iters[si] = iter(())
                 live = [f is not None for f in batch]
                 if not all(live):
                     ended = [

@@ -615,3 +615,65 @@ def test_tracking_config_panorama_export(tmp_path):
     pano = mpimg.imread(str(pano_path))
     assert pano.shape[:2] == (512, 1024)
     assert pano[:, :, :3].max() > 0  # something got painted
+
+
+def test_run_batch_isolates_failing_stream(tmp_path):
+    """drop_ended: a stream whose decoder raises is dropped; others run on.
+    Strict lockstep propagates the error (the reference's failure model)."""
+    import pytest as _pytest
+
+    from ofps_tpu.apps.batch import run_batch
+    from ofps_tpu.decoders import base as dbase
+
+    good = str(tmp_path / "good.mvec")
+    _write_mvec(good, [True] * 6)
+
+    class BoomDecoder:
+        def __init__(self):
+            self.i = 0
+
+        def process_frame(self, want_frame=False, skip=0):
+            if self.i >= 2:
+                raise IOError("boom")
+            self.i += 1
+            pos = np.full((4, 2), 0.5, np.float32)
+            return dbase.DecodedFrame(pos=pos, motion=pos * 0.01)
+
+        def get_framerate(self):
+            return 30.0
+
+        def get_aspect(self):
+            return (64, 48)
+
+    def mix_factory(path, **kw):
+        if path.endswith(".mvec"):
+            return dbase._REGISTRY["mvec"](path, **kw)
+        return BoomDecoder()
+
+    dbase._REGISTRY["mixtest"] = mix_factory
+    try:
+        res = run_batch(
+            [good, "x.boom"],
+            estimators=[],
+            detector="block_motion",
+            camera_aspect=1.0,
+            camera_fov_y=90.0,
+            decoder_plugin="mixtest",
+            drop_ended=True,
+        )
+        assert res.frames == 6
+        assert res.active[:, 0].sum() == 6  # good stream ran to its end
+        assert res.active[:, 1].sum() == 2  # boom stream dropped at frame 2
+
+        # Strict lockstep: the failure propagates.
+        with _pytest.raises(IOError):
+            run_batch(
+                [good, "x.boom"],
+                estimators=[],
+                detector="block_motion",
+                camera_aspect=1.0,
+                camera_fov_y=90.0,
+                decoder_plugin="mixtest",
+            )
+    finally:
+        dbase._REGISTRY.pop("mixtest", None)
