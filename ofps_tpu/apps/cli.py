@@ -167,6 +167,45 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_bench_decode(args) -> int:
+    """Host-decode throughput over N parallel DecoderFeed threads.
+
+    The serving ceiling check for SURVEY's "host decode must keep up with
+    the device" concern: each feed is a 1-frame-lookahead thread whose
+    libav calls release the GIL, so throughput scales with host cores.
+    """
+    import time as _time
+
+    from ofps_tpu.decoders.base import create_decoder
+    from ofps_tpu.pipeline.runtime import DecoderFeed
+
+    feeds = [
+        DecoderFeed(create_decoder(args.input, args.plugin))
+        for _ in range(args.streams)
+    ]
+    iters = [iter(f) for f in feeds]
+    t0 = _time.perf_counter()
+    frames = 0
+    live = list(range(len(iters)))
+    try:
+        while live:
+            nxt = []
+            for i in live:
+                if next(iters[i], None) is not None:
+                    frames += 1
+                    nxt.append(i)
+            live = nxt
+    finally:
+        for f in feeds:
+            f.stop()
+    dt = _time.perf_counter() - t0
+    print(
+        f"{frames} frames from {args.streams} feed(s) in {dt:.2f} s = "
+        f"{frames / dt:.1f} frames/s aggregate"
+    )
+    return 0
+
+
 def cmd_bench(args) -> int:
     sys.argv = ["bench.py"] + (args.rest or [])
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -232,6 +271,14 @@ def main(argv=None) -> int:
     rb.add_argument("--stats-prefix", default=None,
                     help="write per-stream per-estimator stats CSVs here")
     rb.set_defaults(fn=cmd_run_batch)
+
+    bd = sub.add_parser(
+        "bench-decode", help="host decode throughput over N parallel feeds"
+    )
+    bd.add_argument("input")
+    bd.add_argument("--streams", type=int, default=4)
+    bd.add_argument("--plugin", default=None)
+    bd.set_defaults(fn=cmd_bench_decode)
 
     st = sub.add_parser("stats", help="summarize exported stats CSVs")
     st.add_argument("stats_dir")
