@@ -27,6 +27,7 @@ from ofps_tpu.ops.epipolar import homogeneous
 from ofps_tpu.ops.homography import (
     decompose_homography,
     dlt_homography,
+    gn_refine_homography,
     homography_transfer_error,
 )
 from ofps_tpu.ops.robust import ransac_budget, robust_fit
@@ -72,8 +73,10 @@ def estimate_homography_rotation(
         use_lmeds=not params.use_ransac,
         eval_cap=params.eval_cap,
     )
-    # Weighted refit on the winning inlier set (OpenCV refines with LM here).
+    # Weighted refit on the winning inlier set + Gauss-Newton polish on the
+    # transfer error (OpenCV refines with LM here).
     h = dlt_homography(p1, p2, res.inliers)
+    h = gn_refine_homography(h, p1, p2, res.inliers)
 
     # Sign disambiguation before decomposition: require x2n . (Hn x1n) > 0
     # on the consensus set (positive-depth convention).

@@ -51,6 +51,71 @@ def dlt_homography(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndar
     return h / scale
 
 
+def gn_refine_homography(
+    h: jnp.ndarray,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    w: jnp.ndarray,
+    iters: int = 3,
+) -> jnp.ndarray:
+    """Gauss-Newton polish of H on weighted forward transfer error.
+
+    The reference's OpenCV ``find_homography_ext`` refines the RANSAC/LMedS
+    result with Levenberg-Marquardt on the inlier set; this is the batched
+    fixed-iteration equivalent (8-parameter chart with h22 = 1, analytic
+    Jacobian, Levenberg damping, step kept only when the weighted SSE
+    improves).
+    """
+    from ofps_tpu.ops.solve import gauss_solve
+
+    def sse(hm):
+        return jnp.sum(homography_transfer_error(hm, x1, x2) * w)
+
+    x1h = homogeneous(x1)  # (N, 3)
+
+    def step(hm):
+        scale = jnp.where(jnp.abs(hm[2, 2]) > 1e-12, hm[2, 2], 1.0)
+        hm = hm / scale
+        p = jnp.einsum("ij,nj->ni", hm, x1h, precision="highest")
+        z = p[..., 2]
+        z = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
+        proj = p[..., :2] / z[..., None]
+        r = (proj - x2) * w[..., None]  # (N, 2) weighted residuals
+        invz = 1.0 / z
+        # Jacobian wrt theta = (h00..h02, h10..h12, h20, h21), h22 = 1.
+        zero3 = jnp.zeros_like(x1h)
+        j0 = jnp.concatenate(
+            [
+                x1h * invz[:, None],
+                zero3,
+                -p[..., 0:1] * x1h[:, :2] * (invz**2)[:, None],
+            ],
+            axis=-1,
+        )  # (N, 8)
+        j1 = jnp.concatenate(
+            [
+                zero3,
+                x1h * invz[:, None],
+                -p[..., 1:2] * x1h[:, :2] * (invz**2)[:, None],
+            ],
+            axis=-1,
+        )
+        jw = jnp.concatenate([j0 * w[..., None], j1 * w[..., None]], axis=0)
+        rr = jnp.concatenate([r[:, 0], r[:, 1]], axis=0)
+        jtj = _mm(jw.T, jw)
+        # Levenberg damping keeps near-singular systems stable.
+        jtj = jtj + 1e-8 * jnp.trace(jtj) / 8.0 * jnp.eye(8, dtype=jtj.dtype)
+        jtr = jw.T @ rr
+        delta = gauss_solve(jtj, -jtr[:, None])[:, 0]
+        upd = jnp.concatenate([delta, jnp.zeros(1, delta.dtype)]).reshape(3, 3)
+        cand = hm + upd
+        return jnp.where(sse(cand) < sse(hm), cand, hm)
+
+    for _ in range(iters):
+        h = step(h)
+    return h
+
+
 def homography_transfer_error(h: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray):
     """Squared forward transfer error ||x2 - proj(H x1)||^2, (..., N)."""
     p = jnp.einsum("...ij,nj->...ni", h, homogeneous(x1), precision="highest")
@@ -99,10 +164,32 @@ def decompose_homography(h: jnp.ndarray, k: jnp.ndarray):
     r2, t2, n2 = family(u2)
 
     # Pure-rotation degenerate case: hn is (nearly) orthogonal already.
-    degenerate = (s1sq - s3sq) < 1e-5
-    uu, _, vvt = svd3x3(hn)
-    d = jnp.linalg.det(_mm(uu, vvt))
-    r_rot = _mm(uu * jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d])[None, :], vvt)
+    # Near the degeneracy the family formulas divide by s1^2 - s3^2 and
+    # amplify f32 noise into ~degree-level rotation error, so the guard
+    # band must sit well above f32 singular-value noise (~1e-6): 1e-4
+    # still trips for genuine translations (||t||/d of a few percent gives
+    # s1^2 - s3^2 in the 1e-2 range).
+    #
+    # The orthogonal projection itself uses NEWTON POLAR ITERATION
+    # (X <- (X + X^-T)/2, quadratic convergence), NOT svd3x3: the analytic
+    # eigh-based SVD degenerates on (near-)identity spectra — exactly the
+    # regime this branch exists for.
+    degenerate = (s1sq - s3sq) < 1e-4
+    r_rot = hn
+    for _ in range(4):
+        det = (
+            r_rot[0, 0] * (r_rot[1, 1] * r_rot[2, 2] - r_rot[1, 2] * r_rot[2, 1])
+            - r_rot[0, 1] * (r_rot[1, 0] * r_rot[2, 2] - r_rot[1, 2] * r_rot[2, 0])
+            + r_rot[0, 2] * (r_rot[1, 0] * r_rot[2, 1] - r_rot[1, 1] * r_rot[2, 0])
+        )
+        det = jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+        # Adjugate^T / det = inverse^T; (X + X^-T)/2.
+        cof = jnp.stack([
+            jnp.cross(r_rot[1], r_rot[2]),
+            jnp.cross(r_rot[2], r_rot[0]),
+            jnp.cross(r_rot[0], r_rot[1]),
+        ])  # rows: cofactor rows -> inv(X)^T = cof / det
+        r_rot = 0.5 * (r_rot + cof / det)
     zero_t = jnp.zeros(3, h.dtype)
 
     r1 = jnp.where(degenerate, r_rot, r1)
