@@ -101,9 +101,9 @@ def eigh3x3(a: jnp.ndarray):
     q = jnp.trace(a, axis1=-2, axis2=-1) / 3.0
     b = a - q[..., None, None] * jnp.eye(3, dtype=a.dtype)
     p2 = jnp.sum(b * b, axis=(-2, -1)) / 6.0
-    p = jnp.sqrt(jnp.maximum(p2, 1e-38))
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
     detb = det3(b)
-    r = detb / jnp.maximum(2.0 * p**3, 1e-38)
+    r = detb / jnp.maximum(2.0 * p**3, 1e-30)
     phi = jnp.arccos(jnp.clip(r, -1.0, 1.0)) / 3.0
     two_pi_3 = 2.0943951023931953
     e0 = q + 2.0 * p * jnp.cos(phi + two_pi_3)  # smallest
@@ -154,6 +154,15 @@ def svd3x3(m: jnp.ndarray):
     ``M V / s`` with a cross-product completion for (near-)zero singular
     values — exact for the rank-2/rank-3 matrices the epipolar pipeline
     produces.
+
+    LIMITATION: like any analytic eigh, the eigenvector directions are
+    unreliable when the spectrum is (near-)fully repeated — e.g. M close
+    to a rotation, where MᵀM ~ I.  Epipolar consumers never hit that
+    (essential/fundamental spectra keep a zero singular value with a
+    healthy gap); for orthogonal PROJECTION of a near-rotation use Newton
+    polar iteration instead (see
+    ``ops.homography.decompose_homography``'s degenerate branch, which
+    was numerically garbage when built on this SVD).
     """
     ata = _matmul(jnp.swapaxes(m, -1, -2), m)
     vals, vecs = eigh3x3(ata)

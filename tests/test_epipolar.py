@@ -127,3 +127,29 @@ def test_motion_from_essential_and_correspondence():
     )
     dr = np.asarray(quat.angle_to(quat.from_matrix3(jnp.asarray(r_true)), quat.from_matrix3(r)))
     assert np.rad2deg(dr) < 0.3
+
+
+def test_decompose_homography_exact_rotation_under_jit():
+    """Regression: a near-exact rotation homography (fully repeated
+    singular spectrum) must decompose to that rotation under jit — the
+    svd3x3-based orthogonal projection silently produced garbage here."""
+    import jax
+
+    from ofps_tpu.core import quat
+    from ofps_tpu.core.camera import StandardCamera
+    from ofps_tpu.ops.homography import decompose_homography
+
+    cam = StandardCamera.create(1.0, 90.0)
+    k = cam.intrinsics()
+    kinv = jnp.linalg.inv(k)
+    for angles in [(0.0, 1.0, 0.0), (0.5, -0.3, 0.2), (0.0, 0.0, 0.0)]:
+        q = quat.from_euler(*[np.deg2rad(a) for a in angles])
+        r_true = quat.to_matrix4(q)[:3, :3]
+        h = k @ r_true @ kinv  # exact rotation homography (screen space)
+        rs, ts, _ = jax.jit(decompose_homography)(h, k)
+        errs = [
+            float(jnp.rad2deg(quat.angle_to(q, quat.from_matrix3(rs[i]))))
+            for i in range(2)
+        ]
+        assert min(errs) < 2e-3, (angles, errs)
+        assert float(jnp.linalg.norm(ts[0])) < 1e-3
