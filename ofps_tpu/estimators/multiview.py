@@ -53,6 +53,9 @@ class MultiviewParams(NamedTuple):
     outlier_proba: float = 0.5
     use_five_point: bool = True
     eval_cap: int = 2048
+    # Rotation-only (Kabsch) fallback for the epipolar-degenerate
+    # near-pure-rotation regime; see estimate_essential_rotation.
+    rotation_fallback: bool = True
 
 
 def _normalized_coords(camera: StandardCamera, p: jnp.ndarray) -> jnp.ndarray:
@@ -105,6 +108,43 @@ def estimate_essential_rotation(
     # Refit on inliers, then recover pose with a parallel cheirality vote.
     e = project_to_essential(eight_point_fundamental(x1, x2, res.inliers))
     r, t, _ = recover_pose_from_essential(e, x1, x2, res.inliers)
+
+    if params.rotation_fallback:
+        # Pure/near-pure rotation is DEGENERATE for essential estimation
+        # (H^T E antisymmetric has a 3-dim solution family), which is why
+        # the reference's multiview is its least accurate estimator on the
+        # rotation clips.  Recover: fit the rotation-only model (weighted
+        # Kabsch on bearing vectors via Newton polar iteration) and take it
+        # IFF it explains the correspondences decisively better than the
+        # epipolar rotation — real translation leaves parallax the
+        # rotation-only model cannot absorb, so the gate stays epipolar.
+        d1 = homogeneous(x1)
+        d1 = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True)
+        d2 = homogeneous(x2)
+        d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+        wi = res.inliers
+        c = jnp.einsum("ni,nj,n->ij", d2, d1, wi, precision="highest")
+        rk = c
+        for _ in range(6):
+            det = jnp.linalg.det(rk)
+            det = jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+            cof = jnp.stack(
+                [
+                    jnp.cross(rk[1], rk[2]),
+                    jnp.cross(rk[2], rk[0]),
+                    jnp.cross(rk[0], rk[1]),
+                ]
+            )
+            rk = 0.5 * (rk + cof / det)
+
+        def resid(rm):
+            pred = jnp.einsum("ij,nj->ni", rm, d1, precision="highest")
+            return jnp.sum(
+                jnp.sum(jnp.cross(d2, pred) ** 2, axis=-1) * wi
+            )
+
+        use_k = (resid(rk) <= 0.5 * resid(r)) & (jnp.linalg.det(rk) > 0.0)
+        r = jnp.where(use_k, rk, r)
 
     # Axis remap to the codebase convention (lib.rs:130-134 intent).  Our
     # recovered R uses the x2 ~ f(x1) convention shared with the homography
