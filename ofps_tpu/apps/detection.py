@@ -75,6 +75,7 @@ def run_detection(
     input_path: str,
     detector_name: str = "block_motion",
     decoder_plugin: Optional[str] = None,
+    decoder_props: Optional[Dict[str, Any]] = None,
     detector_props: Optional[Dict[str, Any]] = None,
     settings: Optional[DetectionSettings] = None,
     capacity: int = 16384,
@@ -88,7 +89,7 @@ def run_detection(
     """
     settings = settings or DetectionSettings()
     detector = _create_with_props(create_detector, detector_name, detector_props or {})
-    decoder = create_decoder(input_path, decoder_plugin)
+    decoder = create_decoder(input_path, decoder_plugin, **(decoder_props or {}))
     if overlay_dir:
         import os
 
@@ -163,6 +164,7 @@ def run_detection_config(config: Dict[str, Any]) -> DetectionResultSummary:
         dec["input"],
         detector_name=det.get("name", "block_motion"),
         decoder_plugin=dec.get("plugin"),
+        decoder_props=dec.get("properties"),
         detector_props=det.get("properties"),
         settings=settings,
         max_frames=config.get("max_frames"),

@@ -130,6 +130,7 @@ def run_tracking(
     max_frames: Optional[int] = None,
     seed: int = 0,
     want_frames: bool = False,
+    decoder_props=None,
 ) -> TrackingResult:
     """Track camera motion with every listed estimator on one stream.
 
@@ -147,7 +148,9 @@ def run_tracking(
     state = pipe.init_state(1, 1, 1)  # flow path unused on the MV input
     step = jax.jit(pipe.step_from_flow)
 
-    decoder = create_decoder(input_path, decoder_plugin)
+    decoder = create_decoder(
+        input_path, decoder_plugin, **(decoder_props or {})
+    )
     feed = DecoderFeed(decoder, want_frames=want_frames)
     timer = RealtimeTimer(decoder.get_framerate() if realtime else None)
     perf = PerfStats()
@@ -192,7 +195,7 @@ def run_tracking_config(config: Dict[str, Any]) -> TrackingResult:
     Schema::
 
         {"app": "tracking",
-         "decoder": {"input": "...", "plugin": null},
+         "decoder": {"input": "...", "plugin": null, "properties": {}},
          "camera_aspect": 1.777, "camera_fov_y": 90.0,
          "estimators": [{"name": "almeida", "enabled": true,
                          "properties": {}}, ...],
@@ -209,6 +212,7 @@ def run_tracking_config(config: Dict[str, Any]) -> TrackingResult:
         camera_aspect=float(config.get("camera_aspect", 16.0 / 9.0)),
         camera_fov_y=float(config.get("camera_fov_y", 90.0)),
         decoder_plugin=dec.get("plugin"),
+        decoder_props=dec.get("properties"),
         realtime=bool(config.get("realtime_processing", False)),
         max_frames=config.get("max_frames"),
         want_frames=bool(

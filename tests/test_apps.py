@@ -677,3 +677,34 @@ def test_run_batch_isolates_failing_stream(tmp_path):
             )
     finally:
         dbase._REGISTRY.pop("mixtest", None)
+
+
+def test_config_decoder_properties_reach_decoder(tmp_path):
+    """decoder.properties in configs must construct the decoder with them
+    (transfer_props parity): use_rlof routes the cv decoder to dense LK."""
+    from ofps_tpu.apps.tracking import run_tracking
+    from ofps_tpu.decoders.av import encode_test_video
+
+    clip = str(tmp_path / "c.avi")
+    encode_test_video(clip, 96, 64, frames=4, gop=30, dx=1.0, pattern="noise")
+    res = run_tracking(
+        clip,
+        [{"name": "almeida", "properties": {"num_iters": 8}}],
+        camera_aspect=1.5,
+        camera_fov_y=90.0,
+        decoder_plugin="cv",
+        decoder_props={"use_rlof": True, "levels": 2},
+    )
+    assert res.frames == 4
+    # Unknown property names stay loud (TypeError from the constructor).
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        run_tracking(
+            clip,
+            [{"name": "almeida"}],
+            camera_aspect=1.5,
+            camera_fov_y=90.0,
+            decoder_plugin="cv",
+            decoder_props={"nope": 1},
+        )
