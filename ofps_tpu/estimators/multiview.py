@@ -60,7 +60,11 @@ class MultiviewParams(NamedTuple):
 
 def _normalized_coords(camera: StandardCamera, p: jnp.ndarray) -> jnp.ndarray:
     kinv = jnp.linalg.inv(camera.intrinsics())
-    h = homogeneous(p) @ kinv.T
+    # precision="highest": TPU default matmul is bf16 — fatal for the
+    # normalized coordinates every epipolar solve consumes.
+    h = jnp.einsum(
+        "...j,ij->...i", homogeneous(p), kinv, precision="highest"
+    )
     return h[..., :2] / h[..., 2:3]
 
 

@@ -56,7 +56,7 @@ def hartley_normalization(p: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 def _normalize_pts(p, w):
     t = hartley_normalization(p, w)
     ph = homogeneous(p)
-    pn = ph @ t.T
+    pn = _mm(ph, jnp.swapaxes(t, -1, -2))
     return pn[..., :2], t
 
 
@@ -288,8 +288,10 @@ def motion_from_essential_and_correspondence(
     (libmv-rust/libmv-c.cpp:69-101 surface).  ``x1``/``x2``: (2,) screen pts.
     """
     kinv = jnp.linalg.inv(k)
-    x1n = (kinv @ homogeneous(x1))[:2] / (kinv @ homogeneous(x1))[2]
-    x2n = (kinv @ homogeneous(x2))[:2] / (kinv @ homogeneous(x2))[2]
+    h1 = _mm(kinv, homogeneous(x1))
+    h2 = _mm(kinv, homogeneous(x2))
+    x1n = h1[:2] / h1[2]
+    x2n = h2[:2] / h2[2]
     return recover_pose_from_essential(
         e, x1n[None], x2n[None], jnp.ones((1,), e.dtype)
     )

@@ -27,8 +27,11 @@ def dlt_homography(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndar
     """Weighted normalized DLT: H with x2 ~ H x1.  (N,2),(N,2),(N,) -> (3,3)."""
     t1 = hartley_normalization(x1, w)
     t2 = hartley_normalization(x2, w)
-    p1 = homogeneous(x1) @ t1.T
-    p2 = homogeneous(x2) @ t2.T
+    # precision="highest": TPU default matmul precision is bf16, which
+    # quantizes the normalized point coordinates to ~3 digits and costs
+    # whole tenths of a degree downstream.
+    p1 = _mm(homogeneous(x1), t1.T)
+    p2 = _mm(homogeneous(x2), t2.T)
     u1, v1 = p1[..., 0], p1[..., 1]
     u2, v2 = p2[..., 0], p2[..., 1]
     z = jnp.zeros_like(u1)
@@ -105,7 +108,7 @@ def gn_refine_homography(
         jtj = _mm(jw.T, jw)
         # Levenberg damping keeps near-singular systems stable.
         jtj = jtj + 1e-8 * jnp.trace(jtj) / 8.0 * jnp.eye(8, dtype=jtj.dtype)
-        jtr = jw.T @ rr
+        jtr = jnp.einsum("ni,n->i", jw, rr, precision="highest")
         delta = gauss_solve(jtj, -jtr[:, None])[:, 0]
         upd = jnp.concatenate([delta, jnp.zeros(1, delta.dtype)]).reshape(3, 3)
         cand = hm + upd
@@ -152,12 +155,12 @@ def decompose_homography(h: jnp.ndarray, k: jnp.ndarray):
 
     def family(u):
         big_u = jnp.stack([v2, u, jnp.cross(v2, u)], axis=-1)
-        hv2 = hn @ v2
-        hu = hn @ u
+        hv2 = jnp.einsum("ij,j->i", hn, v2, precision="highest")
+        hu = jnp.einsum("ij,j->i", hn, u, precision="highest")
         big_w = jnp.stack([hv2, hu, jnp.cross(hv2, hu)], axis=-1)
         r = _mm(big_w, big_u.T)
         n = jnp.cross(v2, u)
-        t = (hn - r) @ n
+        t = jnp.einsum("ij,j->i", hn - r, n, precision="highest")
         return r, t, n
 
     r1, t1, n1 = family(u1)
