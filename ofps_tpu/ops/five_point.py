@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from ofps_tpu.ops.epipolar import _epipolar_rows, project_to_essential
-from ofps_tpu.ops.solve import gauss_solve, smallest_eigvecs_inverse_iteration
+from ofps_tpu.ops.solve import smallest_eigvecs_inverse_iteration
 
 _mm = partial(jnp.matmul, precision="highest")
 

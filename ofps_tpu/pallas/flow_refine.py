@@ -341,17 +341,16 @@ def _refine_kernel(
 
     costs = []
     for dx, dy in pairs:
-        if True:
-            wsh = warped[
-                hs + dy - r : hs + dy + bh + r, hs + dx - r : hs + dx + bw + r
-            ]
-            diff = jnp.abs(i1t - wsh)
-            acc = _tree_box(diff, 2 * r + 1, 0, bh)
-            cost = _tree_box(acc, 2 * r + 1, 1, bw)
-            # Back to f32 before the penalty adds: Mosaic cannot relayout
-            # masks between 16-bit (bf16 compare) and 32-bit operand widths.
-            cost = cost.astype(jnp.float32) + (row_pen[dy] + col_pen[dx])
-            costs.append(cost)
+        wsh = warped[
+            hs + dy - r : hs + dy + bh + r, hs + dx - r : hs + dx + bw + r
+        ]
+        diff = jnp.abs(i1t - wsh)
+        acc = _tree_box(diff, 2 * r + 1, 0, bh)
+        cost = _tree_box(acc, 2 * r + 1, 1, bw)
+        # Back to f32 before the penalty adds: Mosaic cannot relayout
+        # masks between 16-bit (bf16 compare) and 32-bit operand widths.
+        cost = cost.astype(jnp.float32) + (row_pen[dy] + col_pen[dx])
+        costs.append(cost)
 
     if stage <= 4:  # + candidate costs
         acc0 = costs[0]

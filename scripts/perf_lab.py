@@ -130,18 +130,7 @@ def main():
         t3 = lvl_xla(3, 1)
         t4 = lvl_xla(4, 6)
 
-        # init_flow downsample + final stack (the packed-API overhead).
-        hc, wc = pyr[4].shape[-2:]
-
-        def glue(flow, c):
-            u = resize_bilinear_matmul(flow[..., 0] + c, hc, wc)
-            v = resize_bilinear_matmul(flow[..., 1], hc, wc)
-            uf = resize_bilinear_matmul(u, H, W)  # stand-in full-res relayout
-            return (jnp.stack([uf, v[..., :1, :1] * 0], axis=-1),)
-
-        f0 = jnp.zeros((B, H, W, 2), jnp.float32)
-        tg = timeit("glue: init resize + stack", rep(glue), f0)
-        print(f"sum of parts: {(t0+t1+t2+t3+t4+tg)*1e3:.1f} ms")
+        print(f"sum of levels: {(t0+t1+t2+t3+t4)*1e3:.1f} ms")
 
 
 if __name__ == "__main__":
