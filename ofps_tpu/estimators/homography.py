@@ -83,7 +83,8 @@ def estimate_homography_rotation(
     k = camera.intrinsics()
     kinv = jnp.linalg.inv(k)
     # Compute (K^-1 h2) . (K^-1 H h1) per point.
-    a = jnp.einsum("ij,nj->ni", kinv @ h, homogeneous(p1), precision="highest")
+    kinv_h = jnp.matmul(kinv, h, precision="highest")
+    a = jnp.einsum("ij,nj->ni", kinv_h, homogeneous(p1), precision="highest")
     b = jnp.einsum("ij,nj->ni", kinv, homogeneous(p2), precision="highest")
     sign = jnp.sign(jnp.sum(jnp.sum(a * b, axis=-1) * res.inliers))
     h = h * jnp.where(sign == 0, 1.0, sign)
