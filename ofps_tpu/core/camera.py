@@ -16,6 +16,7 @@ from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 # The camera/estimator math is tiny (3x3 / 4x4 systems) but precision-critical;
 # TPU default matmul precision is bf16, which destroys the near-cancelling
@@ -27,15 +28,17 @@ _ZFAR = 10.0
 
 # Fixed "Z up, Y forward" view matrix used for screen-space rotations
 # (camera.rs:89-96). It is symmetric, orthogonal and involutive, so
-# V == V^T == V^-1.
-ROTATE_VIEW = jnp.array(
+# V == V^T == V^-1.  Kept as a host (numpy) constant: module import must not
+# dispatch device ops — the driver imports this package in environments where
+# the default backend may be unusable (see __graft_entry__.py).
+ROTATE_VIEW = np.array(
     [
         [-1.0, 0.0, 0.0, 0.0],
         [0.0, 0.0, 1.0, 0.0],
         [0.0, 1.0, 0.0, 0.0],
         [0.0, 0.0, 0.0, 1.0],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 
@@ -47,9 +50,11 @@ class StandardCamera(NamedTuple):
 
     @classmethod
     def create(cls, aspect: float, fov_y_deg: float) -> "StandardCamera":
+        # numpy leaves: constructing a camera must not dispatch device ops
+        # (pipeline construction happens before any backend is chosen).
         return cls(
-            jnp.asarray(aspect, dtype=jnp.float32),
-            jnp.asarray(fov_y_deg, dtype=jnp.float32),
+            np.asarray(aspect, dtype=np.float32),
+            np.asarray(fov_y_deg, dtype=np.float32),
         )
 
     # -- projection matrices -------------------------------------------------

@@ -11,9 +11,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _NEIGHBORS8 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
-_BIG = jnp.int32(2**30)
+# Host scalar: module import must not dispatch device ops.
+_BIG = np.int32(2**30)
 
 
 def _shift_min(labels: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:

@@ -66,26 +66,27 @@ def _probe_points():
 _PX, _PY = _probe_points()
 # c_j(x_i, y_i) = (M @ Vt)[j, i] with Vt[k, i] = B10_k(x_i, y_i)
 # => M = C @ inv(Vt).  Precomputed in float64 (cond ~ 60).
-_VT_INV = jnp.asarray(np.linalg.inv(_monomials10(_PX, _PY)), jnp.float32)
-_PXJ = jnp.asarray(_PX, jnp.float32)
-_PYJ = jnp.asarray(_PY, jnp.float32)
+# Host (numpy) constants: module import must not dispatch device ops.
+_VT_INV = np.asarray(np.linalg.inv(_monomials10(_PX, _PY)), np.float32)
+_PXJ = np.asarray(_PX, np.float32)
+_PYJ = np.asarray(_PY, np.float32)
 
 # 11 Chebyshev interpolation nodes for the degree-10 det polynomial, and the
 # inverse Vandermonde mapping det values -> monomial coefficients (float64).
 _ZN = np.cos((2.0 * np.arange(11) + 1.0) / 22.0 * np.pi) * 1.25
-_VAND_INV = jnp.asarray(
-    np.linalg.inv(np.vander(_ZN, 11, increasing=True)), jnp.float32
+_VAND_INV = np.asarray(
+    np.linalg.inv(np.vander(_ZN, 11, increasing=True)), np.float32
 )
-_ZNJ = jnp.asarray(_ZN, jnp.float32)
+_ZNJ = np.asarray(_ZN, np.float32)
 
 _N_GRID = 512  # tan-angle sign-scan resolution
-_HADAMARD4 = jnp.asarray(
+_HADAMARD4 = np.asarray(
     0.5
     * np.array(
         [[1, 1, 1, 1], [1, -1, 1, -1], [1, 1, -1, -1], [1, -1, -1, 1]],
         np.float64,
     ),
-    jnp.float32,
+    np.float32,
 )
 _MAX_ROOTS = 10
 _EXTRA_SEEDS = 4

@@ -1,0 +1,197 @@
+"""Per-stage cost attribution for the serving pipeline step.
+
+Times each pipeline stage in isolation on the live backend using the
+scan-chained timing recipe from bench.py (K iterations inside one jit, sync
+via a scalar device_get).  Run on the axon TPU from /root/repo:
+
+    python scripts/profile_pipeline.py [--iters 96] [--batch 1]
+
+Stages:
+  flow        dense pyramid flow at 1080p
+  densify     grid_downsample_uv 1080p -> 150x84
+  almeida     full almeida-RANSAC estimate on the 150x84 grid
+  alm_fits    RANSAC minimal fits + scoring only (no final refit)
+  alm_refit   one full-N weighted LSQ refit only
+  homography  full homography estimate on the grid
+  detector    block-motion detect on the grid
+  step        the complete StreamPipeline step (reference total)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from ofps_tpu.core.camera import StandardCamera
+from ofps_tpu.core.motion import SparseFlow, field_to_sparse, grid_downsample_uv
+from ofps_tpu.detectors.base import create_detector
+from ofps_tpu.estimators.almeida import (
+    AlmeidaParams,
+    solve_ypr_ransac,
+    solve_ypr_weighted,
+)
+from ofps_tpu.estimators.base import create_estimator
+from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow_warm
+from ofps_tpu.parallel.stream import StreamPipeline
+
+
+def timed_scan(fn, carry0, iters, repeats=3):
+    """Chain fn (carry -> carry, checksum) iters times inside one jit."""
+
+    @jax.jit
+    def run(carry):
+        def body(c, _):
+            c, s = fn(c)
+            return c, s
+
+        c, ss = jax.lax.scan(body, carry, None, length=iters)
+        return jnp.sum(ss[-1]) + jnp.sum(ss[0])
+
+    float(jax.device_get(run(carry0)))  # compile + warm
+    best = 1e9
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(jax.device_get(run(carry0)))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=96)
+    ap.add_argument("--stages", default=None, help="comma list to run")
+    args = ap.parse_args()
+
+    b, h, w = args.batch, 1080, 1920
+    gw, gh = 150, 84
+    n = gw * gh
+    camera = StandardCamera.create(w / h, 90.0)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    i1 = jax.random.uniform(k1, (b, h, w), jnp.float32, 0.0, 255.0)
+    i2 = jnp.roll(i1, 3, axis=-1) + jax.random.uniform(
+        k2, (b, h, w), jnp.float32, -2.0, 2.0
+    )
+    u0 = jax.random.uniform(k3, (b, h, w), jnp.float32, -3.0, 3.0)
+    v0 = jnp.roll(u0, 1, axis=-1)
+    grid = grid_downsample_uv(u0, v0, gw, gh, norm_wh=(w, h))
+    sparse = jax.vmap(field_to_sparse)(grid)
+    params = FlowParams()
+    alm = AlmeidaParams()
+
+    results = {}
+    want = set(args.stages.split(",")) if args.stages else None
+
+    def stage(name, fn, carry0):
+        if want is not None and name not in want:
+            return
+        dt = timed_scan(fn, carry0, args.iters)
+        results[name] = round(dt * 1e6, 1)
+        print(f"{name:12s} {dt*1e3:8.3f} ms/iter", file=sys.stderr)
+
+    # flow
+    def flow_fn(c):
+        warm, s = c
+        (u, v), warm = dense_flow_warm(i1, i2, params, warm=warm)
+        return (warm, s), jnp.sum(u) + jnp.sum(v)
+
+    (u, v), warm0 = dense_flow_warm(i1, i2, params)
+    stage("flow", flow_fn, (warm0, jnp.float32(0)))
+
+    # densify (feed it evolving input so scan iterations are not CSE'd)
+    def dens_fn(c):
+        uu, vv = c
+        g = grid_downsample_uv(uu, vv, gw, gh, norm_wh=(w, h))
+        s = jnp.sum(g)
+        return (uu + s * 1e-9, vv), s
+
+    stage("densify", dens_fn, (u0, v0))
+
+    # almeida full
+    def alm_fn(c):
+        sp, k = c
+        k, sub = jax.random.split(k)
+        keys = jax.random.split(sub, b)
+        def one(fl, kk):
+            return solve_ypr_ransac(
+                kk, camera, fl, alm.num_iters, alm.inlier_angle_deg,
+                alm.ransac_samples,
+            )
+        q = jax.vmap(one)(sp, keys)
+        s = jnp.sum(q)
+        sp = sp._replace(motion=sp.motion + s * 1e-12)
+        return (sp, k), s
+
+    stage("almeida", alm_fn, (sparse, jax.random.PRNGKey(1)))
+
+    # almeida refit only (the full-N 30-iteration LSQ)
+    def refit_fn(c):
+        sp = c
+        def one(fl):
+            return solve_ypr_weighted(camera, fl.pos, fl.motion, fl.mask)
+        q = jax.vmap(one)(sp)
+        s = jnp.sum(q)
+        return sp._replace(motion=sp.motion + s * 1e-12), s
+
+    stage("alm_refit", refit_fn, sparse)
+
+    # homography full
+    hom = create_estimator("homography")
+
+    def hom_fn(c):
+        sp, k = c
+        k, sub = jax.random.split(k)
+        keys = jax.random.split(sub, b)
+        q, t, _ = jax.vmap(
+            lambda fl, kk: hom.estimate((), fl, camera, kk)
+        )(sp, keys)
+        s = jnp.sum(q)
+        return (sp._replace(motion=sp.motion + s * 1e-12), k), s
+
+    stage("homography", hom_fn, (sparse, jax.random.PRNGKey(2)))
+
+    # detector
+    det = create_detector("block_motion")
+
+    def det_fn(c):
+        sp = c
+        d = jax.vmap(det.detect)(sp)
+        s = jnp.sum(d.field) + jnp.sum(d.area)
+        return sp._replace(motion=sp.motion + s * 1e-12), s
+
+    stage("detector", det_fn, sparse)
+
+    # full step
+    pipe = StreamPipeline(
+        camera=camera,
+        estimators=[create_estimator("almeida"), create_estimator("homography")],
+        detector=create_detector("block_motion"),
+        flow_params=params,
+        emit_dense_flow=False,
+    )
+    st0 = pipe.init_state(b, h, w)
+
+    def step_fn(c):
+        st, k = c
+        k, sub = jax.random.split(k)
+        st, out = pipe.step_from_frames(st, i2, sub)
+        return (st, k), jnp.sum(out.rot[0])
+
+    stage("step", step_fn, (st0, jax.random.PRNGKey(3)))
+
+    print(json.dumps({"unit": "us/frame", "batch": b, **results}))
+
+
+if __name__ == "__main__":
+    main()
