@@ -32,8 +32,16 @@ from ofps_tpu.core import quat
 from ofps_tpu.core.camera import StandardCamera
 from ofps_tpu.core.motion import SparseFlow
 from ofps_tpu.estimators.base import EstimatorInstance, register
+from ofps_tpu.ops.geometry_uv import (
+    delta_planes,
+    point_angle_planes,
+    qconj,
+    qident_like,
+    qmat,
+    qmul,
+    solve3_planes,
+)
 from ofps_tpu.ops.robust import uniform_cap_weights
-from ofps_tpu.ops.solve import solve3x3
 
 # lib.rs:17-18
 EPS = 0.001 * math.pi / 180.0
@@ -63,6 +71,71 @@ def motion_prototypes(camera: StandardCamera, pos: jnp.ndarray):
     return roll, pitch, yaw
 
 
+def _proto_mats():
+    """The three constant EPS-rotation matrices as 9-tuples of scalars."""
+    return tuple(
+        tuple(m.reshape(9))
+        for m in (
+            quat.to_matrix3(quat.from_euler(0.0, EPS, 0.0)),
+            quat.to_matrix3(quat.from_euler(EPS, 0.0, 0.0)),
+            quat.to_matrix3(quat.from_euler(0.0, 0.0, -EPS)),
+        )
+    )
+
+
+def _solve_ypr_planes(camera, px, py, mu, mv, w, reduce_axis):
+    """Iterative LSQ rotation solve (lib.rs:123-200) on u/v planes.
+
+    ``px, py, mu, mv, w`` are position/motion/weight planes; the point axis
+    is ``reduce_axis`` and any remaining axes are batch (so minimal-sample
+    fits run as (3, H) planes with H on the TPU lane axis — no vmap, no
+    lane padding).  Returns a (w, x, y, z) plane tuple.
+    """
+    protos = []
+    for m in _proto_mats():
+        du, dv = delta_planes(camera, px, py, m)
+        protos.append((du / EPS, dv / EPS))
+
+    def wsum(x):
+        return jnp.sum(w * x, axis=reduce_axis)
+
+    # Weighted Gram matrix of the prototypes is loop-invariant.
+    (p1u, p1v), (p2u, p2v), (p3u, p3v) = protos
+    a = (
+        wsum(p1u * p1u + p1v * p1v),
+        wsum(p1u * p2u + p1v * p2v),
+        wsum(p1u * p3u + p1v * p3v),
+        wsum(p2u * p2u + p2v * p2v),
+        wsum(p2u * p3u + p2v * p3v),
+        wsum(p3u * p3u + p3v * p3v),
+    )
+
+    def body(i, rotation):
+        alpha = jnp.where(i == _LSQ_ITERS - 1, 1.0, ALPHA)
+        du, dv = delta_planes(camera, px, py, qmat(rotation))
+        vu = mu - du
+        vv = mv - dv
+        b = (
+            wsum(p1u * vu + p1v * vv),
+            wsum(p2u * vu + p2v * vv),
+            wsum(p3u * vu + p3v * vv),
+        )
+        m1, m2, m3 = solve3_planes(a, b)
+        m1, m2, m3 = m1 * alpha, m2 * alpha, m3 * alpha
+        # Apply in YRP order (lib.rs:187-195): from_euler with two zero
+        # angles collapses to single-axis half-angle quats.
+        z = jnp.zeros_like(m1)
+        roll = (jnp.cos(m1 * 0.5), z, jnp.sin(m1 * 0.5), z)
+        pitch = (jnp.cos(m2 * 0.5), jnp.sin(m2 * 0.5), z, z)
+        yaw = (jnp.cos(m3 * 0.5), z, z, -jnp.sin(m3 * 0.5))
+        rot = qmul(pitch, qmul(roll, yaw))
+        return qmul(rotation, rot)
+
+    rotation = jax.lax.fori_loop(0, _LSQ_ITERS, body, qident_like(a[0]))
+    # We estimated how points rotate, not how the camera rotates (lib.rs:199).
+    return qconj(rotation)
+
+
 def solve_ypr_weighted(
     camera: StandardCamera,
     pos: jnp.ndarray,
@@ -73,38 +146,34 @@ def solve_ypr_weighted(
 
     ``pos``/``motion``: (N, 2); ``weights``: (N,).  Returns a unit quaternion.
     """
-    protos = motion_prototypes(camera, pos)  # each (N, 2), unit-angle scale
-    p = jnp.stack(protos, axis=-2)  # (N, 3, 2)
-
-    # Weighted Gram matrix of the prototypes is loop-invariant.
-    a = jnp.einsum("nik,njk,n->ij", p, p, weights, precision="highest")
-
-    def body(i, rotation):
-        alpha = jnp.where(i == _LSQ_ITERS - 1, 1.0, ALPHA)
-        rotm = quat.to_matrix4(rotation)
-        delta = camera.delta(pos, rotm)
-        v0 = motion - delta
-        b = jnp.einsum("nik,nk,n->i", p, v0, weights, precision="highest")
-        model = solve3x3(a, b) * alpha
-        # Apply in YRP order (lib.rs:187-195).
-        roll = quat.from_euler(0.0, model[0], 0.0)
-        pitch = quat.from_euler(model[1], 0.0, 0.0)
-        yaw = quat.from_euler(0.0, 0.0, -model[2])
-        rot = quat.mul(pitch, quat.mul(roll, yaw))
-        return quat.mul(rotation, rot)
-
-    rotation = jax.lax.fori_loop(0, _LSQ_ITERS, body, quat.identity())
-    # We estimated how points rotate, not how the camera rotates (lib.rs:199).
-    return quat.inverse(rotation)
+    q = _solve_ypr_planes(
+        camera,
+        pos[..., 0],
+        pos[..., 1],
+        motion[..., 0],
+        motion[..., 1],
+        weights,
+        reduce_axis=-1,
+    )
+    return jnp.stack(q, axis=-1)
 
 
 def _sample_indices(key, mask: jnp.ndarray, shape_rows: int, k: int):
-    """Per-row sampling of k valid indices without replacement (Gumbel top-k)."""
+    """(rows, k) random valid indices: one stable partition of the valid
+    set (raster order preserved) + uniform integer draws.
+
+    Replaces per-row Gumbel top-k — a (rows, N) sort whose cost dominated
+    the RANSAC fit stage.  Draws are independent, so a row can repeat an
+    index (probability ~k^2/2m); a repeated point makes that hypothesis
+    degenerate and it simply loses the inlier vote, exactly like the
+    reference's degenerate-sample fits.
+    """
     n = mask.shape[0]
-    u = jax.random.uniform(key, (shape_rows, n))
-    scores = u + (mask - 1.0) * 1e9  # invalid entries sink to the bottom
-    _, idx = jax.lax.top_k(scores, k)
-    return idx  # (shape_rows, k)
+    order = jnp.argsort(mask < 0.5, stable=True)  # valid entries first
+    m = jnp.maximum(jnp.sum(mask > 0.5).astype(jnp.int32), 1)
+    u = jax.random.uniform(key, (shape_rows, k))
+    r = jnp.minimum((u * m).astype(jnp.int32), m - 1)
+    return order[r]  # (shape_rows, k)
 
 
 # uniform_cap_weights moved to ops.robust (shared with the epipolar
@@ -133,15 +202,15 @@ def solve_ypr_ransac(
     target = math.radians(inlier_angle_deg)
     k_fit, _ = jax.random.split(key)
 
-    # Minimal 3-point fits, one per hypothesis (small gather: H x 3).
+    # Minimal 3-point fits as (3, H) planes: H rides the lane axis.
     fit_idx = _sample_indices(k_fit, mask, num_iters, 3)  # (H, 3)
-    fit_pos = pos[fit_idx]  # (H, 3, 2)
-    fit_mot = motion[fit_idx]
-    fit_w = mask[fit_idx]
-
-    fits = jax.vmap(lambda p_, m_, w_: solve_ypr_weighted(camera, p_, m_, w_))(
-        fit_pos, fit_mot, fit_w
-    )  # (H, 4)
+    fpx = pos[fit_idx, 0].T  # (3, H)
+    fpy = pos[fit_idx, 1].T
+    fmu = motion[fit_idx, 0].T
+    fmv = motion[fit_idx, 1].T
+    fw = mask[fit_idx].T
+    fits = _solve_ypr_planes(camera, fpx, fpy, fmu, fmv, fw, reduce_axis=0)
+    # (w, x, y, z) planes, each (H,)
 
     # Shared eval subset, GATHERED once (not masked dense): per-hypothesis
     # evaluation tensors shrink from (H, N, 2) to (H, S, 2) — at the 1080p
@@ -151,28 +220,32 @@ def solve_ypr_ransac(
     n_eval = min(num_samples, n)
     rank = ev_w * 2.0 - jnp.arange(n, dtype=jnp.float32) / n
     _, eidx = jax.lax.top_k(rank, n_eval)
-    pos_e, mot_e, w_e = pos[eidx], motion[eidx], ev_w[eidx]
+    pxe, pye = pos[eidx, 0], pos[eidx, 1]  # (S,)
+    mue, mve = motion[eidx, 0], motion[eidx, 1]
+    w_e = ev_w[eidx]
 
-    def eval_one(fit_q):
-        mat = quat.to_matrix4(quat.inverse(fit_q))
-        delta = camera.delta(pos_e, mat)
-        sample_pt = pos_e + delta
-        vec = mot_e - delta
-        ang = camera.point_angle(sample_pt)
-        cosang = jnp.cos(ang)
-        err2 = jnp.sum((vec * cosang) ** 2, axis=-1)
-        return (err2 <= target * target) & (w_e > 0.5)
-
-    inliers = jax.vmap(eval_one)(fits)  # (H, S) bool
+    # Score all hypotheses at once on (H, S) planes: rotation components are
+    # (H, 1) columns broadcast against the (S,) point planes.
+    rinv = qmat(qconj(fits))
+    rcols = tuple(c[:, None] for c in rinv)  # each (H, 1)
+    du, dv = delta_planes(camera, pxe, pye, rcols)  # (H, S)
+    vu = mue - du
+    vv = mve - dv
+    au, av = point_angle_planes(camera, pxe + du, pye + dv)
+    err2 = (vu * jnp.cos(au)) ** 2 + (vv * jnp.cos(av)) ** 2
+    inliers = (err2 <= target * target) & (w_e > 0.5)  # (H, S)
     counts = jnp.sum(inliers, axis=-1)
     best = jnp.argmax(counts)
 
-    # Final refit on the winning inlier set (lib.rs:246-250), scattered
-    # back to the full index space.
-    best_w = jnp.zeros((n,), jnp.float32).at[eidx].set(
-        inliers[best].astype(jnp.float32)
+    # Final refit on the winning inlier set (lib.rs:246-250).  The reference
+    # refits on inliers drawn FROM the num_samples evaluation subset, so the
+    # refit runs on the gathered (S,) planes directly — zero-weight points
+    # outside the subset contribute exactly 0 to every weighted sum.
+    best_w = inliers[best].astype(jnp.float32)  # (S,)
+    refit = _solve_ypr_planes(
+        camera, pxe, pye, mue, mve, best_w, reduce_axis=-1
     )
-    refit = solve_ypr_weighted(camera, pos, motion, best_w)
+    refit = jnp.stack(refit, axis=-1)
     return jnp.where(counts[best] >= 3, refit, quat.identity())
 
 
@@ -180,7 +253,10 @@ def solve_ypr_ransac(
 def make_almeida(**kwargs) -> EstimatorInstance:
     params = AlmeidaParams(**kwargs)
 
-    def estimate(state, flow: SparseFlow, camera: StandardCamera, key=None):
+    def estimate(
+        state, flow: SparseFlow, camera: StandardCamera, key=None,
+        move_magnitude=None,  # accepted, unused: almeida lib.rs:105
+    ):
         if params.use_ransac:
             if key is None:
                 key = jax.random.PRNGKey(0)

@@ -36,15 +36,22 @@ class EstimatorInstance:
     name: str
     params: Any
     init: Callable[[], Any]
-    # (state, flow, camera, key) -> (rotation quat, translation vec3, state)
+    # (state, flow, camera, key, move_magnitude=None)
+    #   -> (rotation quat, translation vec3, state)
     estimate: Callable[..., Tuple[jnp.ndarray, jnp.ndarray, Any]]
 
-    def motion_step(self, state, flow: SparseFlow, camera, key, rot, pos):
+    def motion_step(
+        self, state, flow: SparseFlow, camera, key, rot, pos, move_magnitude=None
+    ):
         """Estimate and integrate into (rot, pos) — estimator.rs:38-53.
 
         ``pos += rot * tr; rot = r * rot``; returns (rot, pos, state).
+        ``move_magnitude`` is the optional translation-magnitude hint of
+        estimator.rs:18-23 (None = unhinted, matching ``Option<f32>``).
         """
-        r, tr, state = self.estimate(state, flow, camera, key)
+        r, tr, state = self.estimate(
+            state, flow, camera, key, move_magnitude=move_magnitude
+        )
         pos = pos + quat.rotate_vec(rot, tr)
         rot = quat.mul(r, rot)
         return rot, pos, state

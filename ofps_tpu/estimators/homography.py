@@ -107,7 +107,10 @@ def estimate_homography_rotation(
 def make_homography(**kwargs) -> EstimatorInstance:
     params = HomographyParams(**kwargs)
 
-    def estimate(state, flow: SparseFlow, camera: StandardCamera, key=None):
+    def estimate(
+        state, flow: SparseFlow, camera: StandardCamera, key=None,
+        move_magnitude=None,  # accepted, unused: homography lib.rs:126
+    ):
         if key is None:
             key = jax.random.PRNGKey(0)
         rot = estimate_homography_rotation(key, params, flow, camera)

@@ -199,7 +199,15 @@ def _pose_from_field(key, params, camera, pos, motion, w):
     return r, t, res, ok
 
 
-def estimate_libmv(key, params: LibmvParams, state: PrevMotion, flow: SparseFlow, camera):
+def estimate_libmv(
+    key, params: LibmvParams, state: PrevMotion, flow: SparseFlow, camera,
+    move_magnitude=None,
+):
+    """``move_magnitude`` is the estimator.rs:18-23 translation-magnitude
+    hint: when supplied (may be a traced scalar), the emitted translation —
+    and the chain anchor ``tr`` that future ``triangulate_scale`` calls are
+    measured against — use the hinted magnitude instead of the chained one.
+    """
     k1, k2 = jax.random.split(key)
     pos, motion, w = flow.pos, flow.motion, flow.mask
 
@@ -249,6 +257,11 @@ def estimate_libmv(key, params: LibmvParams, state: PrevMotion, flow: SparseFlow
     reset_rot = q
     reset_tr = t_unit * jnp.where(use_chain, scale, 1.0)
 
+    if move_magnitude is not None:
+        mm = jnp.asarray(move_magnitude, jnp.float32)
+        sf = jnp.where(has_t, mm, 0.0)
+        reset_tr = t_unit * jnp.where(has_t, mm, 1.0)
+
     new_state = PrevMotion(
         pos=jnp.where((use_chain | ~had_prev), cur_grid[0], new_grid[0]),
         motion=jnp.where((use_chain | ~had_prev), cur_grid[1], new_grid[1]),
@@ -265,10 +278,15 @@ def estimate_libmv(key, params: LibmvParams, state: PrevMotion, flow: SparseFlow
 def make_libmv(**kwargs) -> EstimatorInstance:
     params = LibmvParams(**kwargs)
 
-    def estimate(state: PrevMotion, flow: SparseFlow, camera: StandardCamera, key=None):
+    def estimate(
+        state: PrevMotion, flow: SparseFlow, camera: StandardCamera, key=None,
+        move_magnitude=None,
+    ):
         if key is None:
             key = jax.random.PRNGKey(0)
-        rot, tr, new_state = estimate_libmv(key, params, state, flow, camera)
+        rot, tr, new_state = estimate_libmv(
+            key, params, state, flow, camera, move_magnitude=move_magnitude
+        )
         # Degenerate input guard (reference returns Err; we hold the pose).
         ok = (jnp.sum(flow.mask) >= params.algo_points) & jnp.all(
             jnp.isfinite(rot)

@@ -168,7 +168,10 @@ def estimate_essential_rotation(
 def make_multiview(**kwargs) -> EstimatorInstance:
     params = MultiviewParams(**kwargs)
 
-    def estimate(state, flow: SparseFlow, camera: StandardCamera, key=None):
+    def estimate(
+        state, flow: SparseFlow, camera: StandardCamera, key=None,
+        move_magnitude=None,  # accepted, unused: multiview lib.rs:118
+    ):
         if key is None:
             key = jax.random.PRNGKey(0)
         rot = estimate_essential_rotation(key, params, flow, camera)

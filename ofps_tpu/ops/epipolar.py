@@ -275,7 +275,13 @@ def recover_pose_from_essential(
         return jnp.sum(good * w)
 
     sup = jax.vmap(support)(rs, ts)
-    best = jnp.argmax(sup)
+    # Tie-break (exactly-degenerate fields, e.g. zero motion, tie all four
+    # candidates): prefer the smaller rotation.  The bonus is < 1, below the
+    # smallest possible genuine support difference, so it never overrides
+    # the cheirality vote.
+    tr = jnp.trace(rs, axis1=-2, axis2=-1)  # cos(angle) = (tr - 1) / 2
+    score = sup + 0.2 * (tr + 1.0) / 4.0
+    best = jnp.argmax(score)
     return rs[best], ts[best], sup[best]
 
 

@@ -68,11 +68,20 @@ class RobustResult(NamedTuple):
 
 
 def sample_indices(key, w: jnp.ndarray, rows: int, k: int) -> jnp.ndarray:
-    """(rows, k) indices of valid entries, without replacement per row."""
-    n = w.shape[0]
-    u = jax.random.uniform(key, (rows, n))
-    _, idx = jax.lax.top_k(u + (w - 1.0) * 1e9, k)
-    return idx
+    """(rows, k) random valid indices: one stable partition of the valid set
+    + uniform integer draws.
+
+    Replaces per-row Gumbel top-k — a (rows, N) sort that dominated the
+    hypothesis-generation stage on TPU.  Independent draws may repeat an
+    index within a row (~k^2/2m); a repeated point yields a degenerate
+    minimal fit, which loses the score vote exactly like the reference's
+    degenerate samples do.
+    """
+    m = jnp.maximum(jnp.sum(w > 0.5).astype(jnp.int32), 1)
+    order = jnp.argsort(w < 0.5, stable=True)  # valid entries first
+    u = jax.random.uniform(key, (rows, k))
+    r = jnp.minimum((u * m).astype(jnp.int32), m - 1)
+    return order[r]
 
 
 def _masked_median(err: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

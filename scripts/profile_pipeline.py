@@ -135,6 +135,37 @@ def main():
 
     stage("almeida", alm_fn, (sparse, jax.random.PRNGKey(1)))
 
+    # almeida substages: sampling / minimal fits / eval scoring
+    from ofps_tpu.estimators.almeida import (
+        _sample_indices,
+        solve_ypr_weighted as _ypr,
+    )
+    from ofps_tpu.ops.robust import uniform_cap_weights
+
+    def samp_fn(c):
+        sp, k = c
+        k, sub = jax.random.split(k)
+        def one(fl, kk):
+            return jnp.sum(_sample_indices(kk, fl.mask, alm.num_iters, 3))
+        s = jnp.sum(jax.vmap(one)(sp, jax.random.split(sub, b)))
+        return (sp._replace(motion=sp.motion + s * 1e-12), k), s
+
+    stage("alm_sample", samp_fn, (sparse, jax.random.PRNGKey(4)))
+
+    def fits_fn(c):
+        sp, k = c
+        k, sub = jax.random.split(k)
+        def one(fl, kk):
+            idx = _sample_indices(kk, fl.mask, alm.num_iters, 3)
+            fits = jax.vmap(
+                lambda p_, m_, w_: _ypr(camera, p_, m_, w_)
+            )(fl.pos[idx], fl.motion[idx], fl.mask[idx])
+            return jnp.sum(fits)
+        s = jnp.sum(jax.vmap(one)(sp, jax.random.split(sub, b)))
+        return (sp._replace(motion=sp.motion + s * 1e-12), k), s
+
+    stage("alm_fits", fits_fn, (sparse, jax.random.PRNGKey(5)))
+
     # almeida refit only (the full-N 30-iteration LSQ)
     def refit_fn(c):
         sp = c

@@ -124,3 +124,42 @@ def test_multiview_wraparound_guard():
     est = create_estimator("multiview")
     r, _, _ = est.estimate((), flow, cam, jax.random.PRNGKey(1))
     assert float(jnp.rad2deg(quat.angle(r))) < 45.0
+
+
+def test_move_magnitude_hint():
+    """estimator.rs:18-23 Option<f32> hint: every estimator accepts it; libmv
+    scales its emitted translation to the hinted magnitude."""
+    cam = StandardCamera.create(1.0, 90.0)
+    rng = np.random.default_rng(1)
+    grid = np.asarray(get_grid(40, 40, cam))
+    scales = rng.uniform(0.3, 1.0, (len(grid), 1)).astype(np.float32)
+    pts = jnp.asarray(grid * scales)
+    flow = _translation_fixture(cam, (0, 0, 0), (0.1, 0, 0), pts)
+    key = jax.random.PRNGKey(11)
+
+    # API surface: all estimators accept the keyword (reference: ignored
+    # by almeida/homography/multiview, their lib.rs `_: Option<f32>`).
+    for name in available_estimators():
+        est = create_estimator(name)
+        est.estimate(est.init(), flow, cam, key, move_magnitude=2.5)
+
+    est = create_estimator("libmv", algo_points=8)
+    _, t_hint, _ = jax.jit(est.estimate)(
+        est.init(), flow, cam, key, move_magnitude=jnp.float32(2.5)
+    )
+    mag = float(np.linalg.norm(np.asarray(t_hint)))
+    assert abs(mag - 2.5) < 0.01, mag
+    # Direction unchanged vs the unhinted estimate.
+    _, t_plain, _ = jax.jit(est.estimate)(est.init(), flow, cam, key)
+    cos = float(
+        np.dot(np.asarray(t_hint), np.asarray(t_plain))
+        / (mag * np.linalg.norm(np.asarray(t_plain)))
+    )
+    assert cos > 0.999, cos
+
+    # motion_step passes the hint through and integrates the scaled t.
+    rot, pos, _ = est.motion_step(
+        est.init(), flow, cam, key, quat.identity(),
+        jnp.zeros(3), move_magnitude=jnp.float32(2.5),
+    )
+    assert abs(float(jnp.linalg.norm(pos)) - 2.5) < 0.01
