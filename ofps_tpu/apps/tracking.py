@@ -131,12 +131,17 @@ def run_tracking(
     seed: int = 0,
     want_frames: bool = False,
     decoder_props=None,
+    props_hook=None,
 ) -> TrackingResult:
     """Track camera motion with every listed estimator on one stream.
 
     ``estimators``: [{"name": ..., "properties": {...}}, ...].
     ``want_frames=True`` asks the decoder for RGBA frames so keyframes
     carry image payloads (keyframe gallery / panorama export).
+    ``props_hook(frame_idx, props) -> props`` may mutate the dynamic
+    property pytree between frames — the reference's per-frame
+    transfer_props push (tracking/worker.rs:183,356); changes apply on the
+    next frame with no recompilation.
     """
     insts = [
         _estimator_with_props(e["name"], e.get("properties") or {})
@@ -147,6 +152,7 @@ def run_tracking(
     pipe = StreamPipeline(camera=camera, estimators=insts)
     state = pipe.init_state(1, 1, 1)  # flow path unused on the MV input
     step = jax.jit(pipe.step_from_flow)
+    props = pipe.dyn_props()
 
     decoder = create_decoder(
         input_path, decoder_plugin, **(decoder_props or {})
@@ -167,7 +173,9 @@ def run_tracking(
                     flow.pos[None], flow.motion[None], flow.mask[None]
                 )
                 key, sub = jax.random.split(key)
-                state, out = step(state, flow, sub)
+                if props_hook is not None:
+                    props = props_hook(frames, props)
+                state, out = step(state, flow, sub, props)
                 out = jax.device_get(out)
             for t, track in enumerate(tracks):
                 track.transforms.append(np.asarray(out.delta_rot[t][0]))

@@ -31,8 +31,14 @@ class DetectionResult(NamedTuple):
 class DetectorInstance:
     name: str
     params: Any
-    # (flow: SparseFlow) -> DetectionResult
+    # (flow: SparseFlow, props=None) -> DetectionResult
     detect: Callable[..., DetectionResult]
+    # () -> dict of *dynamic* property scalars (continuous-valued params the
+    # reference pushes into a RUNNING plugin every frame,
+    # app/utils/properties.rs:5-18).  These are jnp scalars traced through
+    # the step, so mutating them takes effect next frame with NO re-jit;
+    # shape-affecting params stay static in ``params``.
+    dyn_defaults: Callable[[], dict] = lambda: {}
 
 
 def register(name: str):

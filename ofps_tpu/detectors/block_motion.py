@@ -36,10 +36,16 @@ def block_dim(params: BlockMotionParams) -> int:
     return math.ceil(1.0 / block_width)
 
 
-def detect_motion(params: BlockMotionParams, flow: SparseFlow) -> DetectionResult:
+def detect_motion(
+    params: BlockMotionParams, flow: SparseFlow, target_motion=None
+) -> DetectionResult:
     dim = block_dim(params)
+    if target_motion is None:
+        target_motion = params.target_motion
     field = Densifier.zeros(dim, dim).add_flow(flow).finalize()  # (dim, dim, 2)
-    moving = jnp.linalg.norm(field, axis=-1) >= params.target_motion
+    # target_motion may be a traced scalar (runtime-mutable property);
+    # min_size stays static because it sizes the grid.
+    moving = jnp.linalg.norm(field, axis=-1) >= target_motion
     mask, area = largest_component(moving)
     detected = (area.astype(jnp.float32) / float(dim * dim)) >= params.min_size
     island_field = jnp.where(mask[..., None], field, 0.0)
@@ -52,5 +58,10 @@ def make_block_motion(**kwargs) -> DetectorInstance:
     return DetectorInstance(
         name="block_motion",
         params=params,
-        detect=lambda flow: detect_motion(params, flow),
+        detect=lambda flow, props=None: detect_motion(
+            params, flow, target_motion=(props or {}).get("target_motion")
+        ),
+        dyn_defaults=lambda: {
+            "target_motion": jnp.float32(params.target_motion)
+        },
     )

@@ -199,7 +199,8 @@ def solve_ypr_ransac(
     pos, motion, mask = flow.pos, flow.motion, flow.mask
     n = pos.shape[0]
     num_samples = min(num_samples, n)
-    target = math.radians(inlier_angle_deg)
+    # May be a traced scalar (runtime-mutable property).
+    target = jnp.deg2rad(jnp.asarray(inlier_angle_deg, jnp.float32))
     k_fit, _ = jax.random.split(key)
 
     # Minimal 3-point fits as (3, H) planes: H rides the lane axis.
@@ -256,7 +257,11 @@ def make_almeida(**kwargs) -> EstimatorInstance:
     def estimate(
         state, flow: SparseFlow, camera: StandardCamera, key=None,
         move_magnitude=None,  # accepted, unused: almeida lib.rs:105
+        props=None,
     ):
+        inlier_deg = (props or {}).get(
+            "inlier_angle_deg", params.inlier_angle_deg
+        )
         if params.use_ransac:
             if key is None:
                 key = jax.random.PRNGKey(0)
@@ -265,7 +270,7 @@ def make_almeida(**kwargs) -> EstimatorInstance:
                 camera,
                 flow,
                 params.num_iters,
-                params.inlier_angle_deg,
+                inlier_deg,
                 params.ransac_samples,
             )
         else:
@@ -273,5 +278,11 @@ def make_almeida(**kwargs) -> EstimatorInstance:
         return rot, jnp.zeros(3, dtype=jnp.float32), state
 
     return EstimatorInstance(
-        name="almeida", params=params, init=lambda: (), estimate=estimate
+        name="almeida",
+        params=params,
+        init=lambda: (),
+        estimate=estimate,
+        dyn_defaults=lambda: {
+            "inlier_angle_deg": jnp.float32(params.inlier_angle_deg)
+        },
     )

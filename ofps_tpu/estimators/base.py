@@ -36,12 +36,21 @@ class EstimatorInstance:
     name: str
     params: Any
     init: Callable[[], Any]
-    # (state, flow, camera, key, move_magnitude=None)
+    # (state, flow, camera, key, move_magnitude=None, props=None)
     #   -> (rotation quat, translation vec3, state)
     estimate: Callable[..., Tuple[jnp.ndarray, jnp.ndarray, Any]]
+    # () -> dict of *dynamic* property scalars (continuous-valued params the
+    # reference pushes into a RUNNING plugin every frame,
+    # app/utils/properties.rs:5-18).  Traced through the step: mutating them
+    # takes effect next frame with NO re-jit; shape-affecting params (batch
+    # sizes, iteration counts, algorithm switches) stay static in ``params``.
+    dyn_defaults: Callable[[], dict] = dataclasses.field(
+        default_factory=lambda: (lambda: {})
+    )
 
     def motion_step(
-        self, state, flow: SparseFlow, camera, key, rot, pos, move_magnitude=None
+        self, state, flow: SparseFlow, camera, key, rot, pos,
+        move_magnitude=None, props=None,
     ):
         """Estimate and integrate into (rot, pos) — estimator.rs:38-53.
 
@@ -50,7 +59,8 @@ class EstimatorInstance:
         estimator.rs:18-23 (None = unhinted, matching ``Option<f32>``).
         """
         r, tr, state = self.estimate(
-            state, flow, camera, key, move_magnitude=move_magnitude
+            state, flow, camera, key, move_magnitude=move_magnitude,
+            props=props,
         )
         pos = pos + quat.rotate_vec(rot, tr)
         rot = quat.mul(r, rot)

@@ -46,10 +46,13 @@ class HomographyParams(NamedTuple):
 
 
 def estimate_homography_rotation(
-    key, params: HomographyParams, flow: SparseFlow, camera: StandardCamera
+    key, params: HomographyParams, flow: SparseFlow, camera: StandardCamera,
+    max_error=None,
 ):
     p1, w = flow.pos, flow.mask
     p2 = flow.pos + flow.motion
+    if max_error is None:
+        max_error = params.max_error
 
     def minimal(x1s, x2s, ws):
         h = dlt_homography(x1s, x2s, ws)
@@ -69,7 +72,7 @@ def estimate_homography_rotation(
             4,
             min(params.num_hypotheses, params.max_iters),
         ),
-        threshold=params.max_error,
+        threshold=max_error,
         use_lmeds=not params.use_ransac,
         eval_cap=params.eval_cap,
     )
@@ -110,15 +113,23 @@ def make_homography(**kwargs) -> EstimatorInstance:
     def estimate(
         state, flow: SparseFlow, camera: StandardCamera, key=None,
         move_magnitude=None,  # accepted, unused: homography lib.rs:126
+        props=None,
     ):
         if key is None:
             key = jax.random.PRNGKey(0)
-        rot = estimate_homography_rotation(key, params, flow, camera)
+        rot = estimate_homography_rotation(
+            key, params, flow, camera,
+            max_error=(props or {}).get("max_error"),
+        )
         # Degenerate input guard: fewer valid points than a minimal sample.
         ok = jnp.sum(flow.mask) >= 4
         rot = jnp.where(ok & jnp.all(jnp.isfinite(rot)), rot, quat.identity())
         return rot, jnp.zeros(3, dtype=jnp.float32), state
 
     return EstimatorInstance(
-        name="homography", params=params, init=lambda: (), estimate=estimate
+        name="homography",
+        params=params,
+        init=lambda: (),
+        estimate=estimate,
+        dyn_defaults=lambda: {"max_error": jnp.float32(params.max_error)},
     )

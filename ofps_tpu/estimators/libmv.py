@@ -154,7 +154,9 @@ def _remap_vec(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([v[..., 0], v[..., 2], -v[..., 1]], axis=-1)
 
 
-def _robust_fundamental(key, params: LibmvParams, x1, x2, w):
+def _robust_fundamental(key, params: LibmvParams, x1, x2, w, max_error=None):
+    if max_error is None:
+        max_error = params.max_error
     if params.algo_points == 7:
         minimal, k = seven_point_fundamental, 7
     else:
@@ -180,17 +182,17 @@ def _robust_fundamental(key, params: LibmvParams, x1, x2, w):
             k,
             params.num_hypotheses,
         ),
-        threshold=params.max_error,
+        threshold=max_error,
         use_lmeds=False,
         eval_cap=params.eval_cap,
     )
 
 
-def _pose_from_field(key, params, camera, pos, motion, w):
+def _pose_from_field(key, params, camera, pos, motion, w, max_error=None):
     """Fundamental -> essential -> (R, t, ok) on a (possibly chained) field."""
     x1 = pos
     x2 = pos + motion
-    res = _robust_fundamental(key, params, x1, x2, w)
+    res = _robust_fundamental(key, params, x1, x2, w, max_error=max_error)
     k = camera.intrinsics()
     e = essential_from_fundamental(res.model, k)
     first = jnp.argmax(res.inliers)
@@ -201,7 +203,7 @@ def _pose_from_field(key, params, camera, pos, motion, w):
 
 def estimate_libmv(
     key, params: LibmvParams, state: PrevMotion, flow: SparseFlow, camera,
-    move_magnitude=None,
+    move_magnitude=None, max_error=None,
 ):
     """``move_magnitude`` is the estimator.rs:18-23 translation-magnitude
     hint: when supplied (may be a traced scalar), the emitted translation —
@@ -211,7 +213,9 @@ def estimate_libmv(
     k1, k2 = jax.random.split(key)
     pos, motion, w = flow.pos, flow.motion, flow.mask
 
-    r_mat, t_raw, res, _ok = _pose_from_field(k1, params, camera, pos, motion, w)
+    r_mat, t_raw, res, _ok = _pose_from_field(
+        k1, params, camera, pos, motion, w, max_error=max_error
+    )
     q = remap_solver_rotation(quat.from_matrix3(r_mat))
 
     tm = jnp.linalg.norm(t_raw)
@@ -236,7 +240,9 @@ def estimate_libmv(
     cp = new_grid[0].reshape(-1, 2)
     cm = new_grid[1].reshape(-1, 2)
     cw = new_grid[2].reshape(-1)
-    r13, t13_raw, _res13, _ok13 = _pose_from_field(k2, params, camera, cp, cm, cw)
+    r13, t13_raw, _res13, _ok13 = _pose_from_field(
+        k2, params, camera, cp, cm, cw, max_error=max_error
+    )
     t13 = _remap_vec(t13_raw)
 
     t23 = quat.rotate_vec(chained_rot, t_unit)
@@ -280,12 +286,13 @@ def make_libmv(**kwargs) -> EstimatorInstance:
 
     def estimate(
         state: PrevMotion, flow: SparseFlow, camera: StandardCamera, key=None,
-        move_magnitude=None,
+        move_magnitude=None, props=None,
     ):
         if key is None:
             key = jax.random.PRNGKey(0)
         rot, tr, new_state = estimate_libmv(
-            key, params, state, flow, camera, move_magnitude=move_magnitude
+            key, params, state, flow, camera, move_magnitude=move_magnitude,
+            max_error=(props or {}).get("max_error"),
         )
         # Degenerate input guard (reference returns Err; we hold the pose).
         ok = (jnp.sum(flow.mask) >= params.algo_points) & jnp.all(
@@ -299,5 +306,9 @@ def make_libmv(**kwargs) -> EstimatorInstance:
         return rot, tr, new_state
 
     return EstimatorInstance(
-        name="libmv", params=params, init=PrevMotion.empty, estimate=estimate
+        name="libmv",
+        params=params,
+        init=PrevMotion.empty,
+        estimate=estimate,
+        dyn_defaults=lambda: {"max_error": jnp.float32(params.max_error)},
     )

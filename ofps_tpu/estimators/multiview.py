@@ -69,17 +69,20 @@ def _normalized_coords(camera: StandardCamera, p: jnp.ndarray) -> jnp.ndarray:
 
 
 def estimate_essential_rotation(
-    key, params: MultiviewParams, flow: SparseFlow, camera: StandardCamera
+    key, params: MultiviewParams, flow: SparseFlow, camera: StandardCamera,
+    max_error=None,
 ):
     w = flow.mask
     x1 = _normalized_coords(camera, flow.pos)
     x2 = _normalized_coords(camera, flow.pos + flow.motion)
+    if max_error is None:
+        max_error = params.max_error
 
     # OpenCV divides the pixel threshold by the focal length for normalized
     # coordinates; our K is in [0,1]-screen units.
     k = camera.intrinsics()
     focal = (k[0, 0] + k[1, 1]) * 0.5
-    thr = params.max_error / focal
+    thr = max_error / focal
 
     if params.use_five_point:
         minimal, k = five_point_essential, 5
@@ -171,14 +174,22 @@ def make_multiview(**kwargs) -> EstimatorInstance:
     def estimate(
         state, flow: SparseFlow, camera: StandardCamera, key=None,
         move_magnitude=None,  # accepted, unused: multiview lib.rs:118
+        props=None,
     ):
         if key is None:
             key = jax.random.PRNGKey(0)
-        rot = estimate_essential_rotation(key, params, flow, camera)
+        rot = estimate_essential_rotation(
+            key, params, flow, camera,
+            max_error=(props or {}).get("max_error"),
+        )
         ok = jnp.sum(flow.mask) >= 8
         rot = jnp.where(ok & jnp.all(jnp.isfinite(rot)), rot, quat.identity())
         return rot, jnp.zeros(3, dtype=jnp.float32), state
 
     return EstimatorInstance(
-        name="multiview", params=params, init=lambda: (), estimate=estimate
+        name="multiview",
+        params=params,
+        init=lambda: (),
+        estimate=estimate,
+        dyn_defaults=lambda: {"max_error": jnp.float32(params.max_error)},
     )

@@ -137,7 +137,8 @@ def robust_fit(
         x1e, x2e, we = x1, x2, w
 
     errs = error_fn(models, x1e, x2e)  # (HM, S)
-    thr2 = jnp.float32(threshold * threshold)
+    # ``threshold`` may be a traced scalar (runtime-mutable max_error).
+    thr2 = jnp.square(jnp.asarray(threshold, jnp.float32))
 
     if use_lmeds:
         med = _masked_median(errs, we)  # (HM,)

@@ -147,19 +147,44 @@ class StreamPipeline:
             ),
         )
 
+    # -- runtime-mutable properties ------------------------------------------
+
+    def dyn_props(self):
+        """Default dynamic-property pytree for this pipeline.
+
+        A ``{"estimators": (dict, ...), "detector": dict}`` pytree of jnp
+        scalars (continuous-valued plugin properties).  Pass a (possibly
+        mutated) copy to the step functions: the values are TRACED, so
+        changing one between frames takes effect immediately with no re-jit
+        — the reference's push-properties-into-a-running-plugin semantics
+        (app/utils/properties.rs:5-18, tracking/worker.rs:183).
+        """
+        return {
+            "estimators": tuple(
+                est.dyn_defaults() for est in self.estimators
+            ),
+            "detector": (
+                self.detector.dyn_defaults()
+                if self.detector is not None
+                else {}
+            ),
+        }
+
     # -- consumers (estimators + detector) on a sparse flow batch ------------
 
     def _consume(
-        self, state: StreamState, sparse: SparseFlow, key: jnp.ndarray
+        self, state: StreamState, sparse: SparseFlow, key: jnp.ndarray,
+        props=None,
     ):
         batch = sparse.mask.shape[0]
         rots, poss, dr, dt, est_states = [], [], [], [], []
         keys = jax.random.split(key, max(len(self.estimators), 1) * batch)
         for i, est in enumerate(self.estimators):
             ekeys = keys[i * batch : (i + 1) * batch]
+            eprops = props["estimators"][i] if props is not None else None
 
-            def one(st, fl, k, r0, p0, _est=est):
-                r, t, st2 = _est.estimate(st, fl, self.camera, k)
+            def one(st, fl, k, r0, p0, _est=est, _props=eprops):
+                r, t, st2 = _est.estimate(st, fl, self.camera, k, props=_props)
                 # motion_step integration (estimator.rs:38-53).
                 p1 = p0 + quat.rotate_vec(r0, t)
                 r1 = quat.mul(r, r0)
@@ -176,7 +201,10 @@ class StreamPipeline:
 
         detection = None
         if self.detector is not None:
-            detection = jax.vmap(self.detector.detect)(sparse)
+            dprops = props["detector"] if props is not None else None
+            detection = jax.vmap(
+                lambda fl: self.detector.detect(fl, props=dprops)
+            )(sparse)
         return tuple(rots), tuple(poss), tuple(dr), tuple(dt), tuple(
             est_states
         ), detection
@@ -184,7 +212,8 @@ class StreamPipeline:
     # -- step variants -------------------------------------------------------
 
     def step_from_frames(
-        self, state: StreamState, gray: jnp.ndarray, key: jnp.ndarray
+        self, state: StreamState, gray: jnp.ndarray, key: jnp.ndarray,
+        props=None,
     ) -> Tuple[StreamState, StreamOutputs]:
         """Full step from raw frames: dense flow on-device, then consumers.
 
@@ -217,7 +246,9 @@ class StreamPipeline:
         grid = constrain(grid, self.shard.batch)
         sparse = jax.vmap(field_to_sparse)(grid)
 
-        rot, pos, dr, dt, est, detection = self._consume(state, sparse, key)
+        rot, pos, dr, dt, est, detection = self._consume(
+            state, sparse, key, props=props
+        )
         new_state = StreamState(
             prev_gray=gray,
             warm_uv=warm,
@@ -245,7 +276,8 @@ class StreamPipeline:
         return new_state, outputs
 
     def step_from_flow(
-        self, state: StreamState, sparse: SparseFlow, key: jnp.ndarray
+        self, state: StreamState, sparse: SparseFlow, key: jnp.ndarray,
+        props=None,
     ) -> Tuple[StreamState, StreamOutputs]:
         """Step from decoder-provided motion vectors (codec-MV / .mvec path).
 
@@ -256,7 +288,9 @@ class StreamPipeline:
             constrain(sparse.motion, self.shard.batch),
             constrain(sparse.mask, self.shard.batch),
         )
-        rot, pos, dr, dt, est, detection = self._consume(state, sparse, key)
+        rot, pos, dr, dt, est, detection = self._consume(
+            state, sparse, key, props=props
+        )
         new_state = state._replace(rot=rot, pos=pos, est=est)
         b = sparse.mask.shape[0]
         empty = jnp.zeros((b, 0, 0, 2), jnp.float32)

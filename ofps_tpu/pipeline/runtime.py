@@ -167,3 +167,69 @@ class RealtimeTimer:
             time.sleep(delay)
         else:  # fell behind; resynchronize
             self._next = time.perf_counter()
+
+
+class LivePipeline:
+    """A running jitted pipeline with runtime-mutable plugin properties.
+
+    The reference pushes UI property edits into the *running* plugins every
+    frame (``transfer_props``, app/utils/properties.rs:5-18 applied at
+    tracking/worker.rs:183,356).  Here the continuous-valued properties are
+    a pytree of jnp scalars traced through the step, so ``set_property``
+    between frames takes effect on the next frame with NO recompilation;
+    shape-affecting properties remain constructor arguments.
+
+    >>> live = LivePipeline(pipe, batch=1, height=h, width=w)
+    >>> state, out = live.step(gray, key)
+    >>> live.set_property("detector", "target_motion", 0.5)
+    >>> state, out = live.step(gray2, key2)      # same compiled program
+    """
+
+    def __init__(self, pipe, batch: int, height: int, width: int,
+                 from_flow: bool = False):
+        import jax
+
+        self.pipe = pipe
+        self.props = pipe.dyn_props()
+        self.state = pipe.init_state(batch, height, width)
+        fn = pipe.step_from_flow if from_flow else pipe.step_from_frames
+        self._step = jax.jit(fn)
+
+    def _names(self):
+        return [e.name for e in self.pipe.estimators]
+
+    def set_property(self, target, name: str, value) -> bool:
+        """Set a property on a running component; returns True when it was
+        applied dynamically (no re-jit needed).
+
+        ``target``: "detector", an estimator name, or an estimator index.
+        Unknown property names raise (matching
+        :func:`ofps_tpu.core.properties.set_properties` loudness); known but
+        static (shape-affecting) properties return False — the caller must
+        rebuild the pipeline for those, as the reference rebuilds plugins on
+        structural changes.
+        """
+        import jax.numpy as jnp
+
+        from ofps_tpu.core.properties import set_properties
+
+        if target == "detector":
+            comp = self.pipe.detector
+            dyn = self.props["detector"]
+        else:
+            idx = target if isinstance(target, int) else self._names().index(target)
+            comp = self.pipe.estimators[idx]
+            dyn = self.props["estimators"][idx]
+        # Validate kind/bounds through the property layer (raises on unknown
+        # names / kind mismatch, clamps to declared bounds).
+        validated = set_properties(comp.name, comp.params, {name: value})
+        if name not in dyn:
+            return False  # static property: needs a rebuild + re-jit
+        dyn[name] = jnp.float32(getattr(validated, name))
+        return True
+
+    def step(self, frame_or_flow, key):
+        self.state, out = self._step(
+            self.state, frame_or_flow, key, self.props
+        )
+        return self.state, out
