@@ -136,8 +136,18 @@ class Densifier(NamedTuple):
         """
         h, w = self.counts.shape[-2:]
 
+        # 2x2 parity coloring: every offset in _INTERP_NEIGHBORS flips the x
+        # or y parity, so no two same-color cells are neighbors.  Filling one
+        # color at a time (recomputing filled state in between) reproduces
+        # the reference's within-tier sequential feeding — a cell filled
+        # earlier in the tier contributes to its neighbors filled later
+        # (motion_field.rs:231-246 pops re-sort after every fill) — while
+        # each sub-round stays fully parallel.
+        ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+        color_of = (ys % 2) * 2 + (xs % 2)
+
         def round_step(state):
-            sums, counts, _ = state
+            sums, counts, _, color = state
             filled = counts > 0.1
             mean = sums / counts[..., None]
             add_sum = jnp.zeros_like(sums)
@@ -152,21 +162,27 @@ class Densifier(NamedTuple):
                 nb_count = nb_count + nb_filled
             # Priority batching: the reference pops cells most-filled-
             # neighbors-first (the BTreeSet order, motion_field.rs:231-246);
-            # fill only the cells tied at the current maximum count so the
-            # parallel order tracks the sequential one.
+            # fill only the cells tied at the current maximum count AND in
+            # the current parity color so the parallel order tracks the
+            # sequential one.
             cand = (~filled) & (nb_count > 0.0)
             maxc = jnp.max(jnp.where(cand, nb_count, 0.0))
-            gets_fill = cand & (nb_count >= maxc)
+            gets_fill = cand & (nb_count >= maxc) & (color_of == color)
             new_sums = jnp.where(gets_fill[..., None], sums + add_sum, sums)
             new_counts = jnp.where(gets_fill, counts + add_cnt, counts)
-            return new_sums, new_counts, jnp.any(gets_fill)
+            # A color round that fills nothing still "progresses" as long as
+            # some candidate exists for another color; track fillable, not
+            # filled-this-round.
+            return new_sums, new_counts, jnp.any(cand), (color + 1) % 4
 
         def cond(state):
-            _, counts, progressed = state
-            return jnp.logical_and(progressed, jnp.any(counts <= 0.1))
+            _, counts, fillable, _ = state
+            return jnp.logical_and(fillable, jnp.any(counts <= 0.1))
 
-        sums, counts, _ = jax.lax.while_loop(
-            cond, lambda s: round_step(s), (self.sums, self.counts, jnp.array(True))
+        sums, counts, _, _ = jax.lax.while_loop(
+            cond,
+            round_step,
+            (self.sums, self.counts, jnp.array(True), jnp.array(0)),
         )
         return Densifier(sums, counts)
 

@@ -165,10 +165,13 @@ def test_holefill_matches_priority_queue_oracle():
     filled_mask = (pre_counts > 0.1).reshape(h, w)
     # Source cells must agree exactly (same scatter-mean semantics).
     assert np.abs(ours[filled_mask] - ref_field[filled_mask]).max() < 1e-5
-    # Interpolated cells: mean deviation well under the motion scale.
+    # Interpolated cells: mean deviation well under the motion scale
+    # (parity-color sub-rounds track the sequential order; the residual is
+    # the reference's index-order tie-breaking, which no parallel schedule
+    # can reproduce exactly on an extreme-sparsity fixture).
     dev = np.linalg.norm(ours - ref_field, axis=-1)
     scale = float(np.abs(mot).mean())
-    assert dev[~filled_mask].mean() < 0.1 * scale, (
+    assert dev[~filled_mask].mean() < 0.08 * scale, (
         dev[~filled_mask].mean(),
         scale,
     )
@@ -179,3 +182,42 @@ def test_holefill_matches_priority_queue_oracle():
     err_ours = np.linalg.norm(ours - gt, axis=-1)[~filled_mask].mean()
     err_ref = np.linalg.norm(ref_field - gt, axis=-1)[~filled_mask].mean()
     assert err_ours <= err_ref * 1.3 + 1e-4, (err_ours, err_ref)
+
+
+def test_holefill_oracle_epe_realistic_density():
+    """Few-percent EPE gate vs the sequential oracle at realistic decoder
+    density (~25-50% of cells sourced, the codec-MV / cv-decoder regime) on
+    a smooth field — tight enough to catch any fill-semantics drift."""
+    def true_field(p):
+        return np.stack(
+            [0.3 + 0.5 * p[..., 0] - 0.2 * p[..., 1],
+             -0.1 + 0.4 * np.sin(2.0 * p[..., 0]) * p[..., 1]],
+            axis=-1,
+        ).astype(np.float32)
+
+    w, h = 16, 12
+    for frac, seed in ((0.5, 0), (0.5, 1), (0.25, 0), (0.25, 2)):
+        rng = np.random.default_rng(seed)
+        cells = rng.permutation(w * h)[: int(frac * w * h)]
+        pos = np.stack(
+            [(cells % w) / (w - 1), (cells // w) / (h - 1)], -1
+        ).astype(np.float32)
+        mot = true_field(pos)
+
+        oracle = DensifierOracle(w, h)
+        for p, m in zip(pos, mot):
+            oracle.add_vector(p, m)
+        pre = oracle.counts.copy()
+        oracle.interpolate_empty_cells()
+        ref_field = oracle.field()
+
+        d = (
+            Densifier.zeros(w, h)
+            .add_flow(SparseFlow.from_arrays(pos, mot))
+            .interpolate_empty_cells()
+        )
+        ours = np.asarray(d.finalize())
+        holes = ~(pre > 0.1).reshape(h, w)
+        dev = np.linalg.norm(ours - ref_field, axis=-1)[holes].mean()
+        scale = float(np.abs(mot).mean())
+        assert dev < 0.055 * scale, (frac, seed, dev, scale)
