@@ -10,6 +10,7 @@ estimators and detector vmapped across streams, optionally sharded over a
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import logging
 from typing import Any, Dict, List, Optional
@@ -87,6 +88,7 @@ def run_batch(
     ground_truths: Optional[List[Optional[str]]] = None,
     stats_csv_prefix: Optional[str] = None,
     drop_ended: bool = False,
+    fetch_lag: int = 0,
 ) -> BatchResult:
     """Run every input stream in lockstep through one batched device step.
 
@@ -131,6 +133,18 @@ def run_batch(
     rot_hist: List[List[np.ndarray]] = [[] for _ in ests]
     active_hist: List[List[bool]] = []
     frames = 0
+    pending: "collections.deque" = collections.deque()
+
+    def _drain(out):
+        if want_gt:
+            for e in range(len(ests)):
+                dr_hist[e].append(np.asarray(jax.device_get(out.delta_rot[e])))
+                rot_hist[e].append(np.asarray(jax.device_get(out.rot[e])))
+        if det is not None:
+            detections.append(np.asarray(jax.device_get(out.detection.detected)))
+        else:
+            jax.device_get(out.rot)  # force completion (block_until_ready
+            # does not block through the tunneled-TPU transport)
 
     try:
         while max_frames is None or frames < max_frames:
@@ -186,21 +200,20 @@ def run_batch(
             with perf.time("step"):
                 key, sub = jax.random.split(key)
                 state, out = step(state, flow, sub)
-                if want_gt:
-                    for e in range(len(ests)):
-                        dr_hist[e].append(
-                            np.asarray(jax.device_get(out.delta_rot[e]))
-                        )
-                        rot_hist[e].append(
-                            np.asarray(jax.device_get(out.rot[e]))
-                        )
-                if det is not None:
-                    detections.append(
-                        np.asarray(jax.device_get(out.detection.detected))
-                    )
-                else:
-                    jax.block_until_ready(out.rot)
+                pending.append(out)
+            # Deferred result fetch: jax dispatch is async, so keeping
+            # ``fetch_lag`` steps in flight overlaps each result's
+            # host<->device round trip (~29 ms through a tunneled TPU) with
+            # the compute of the steps behind it — per-frame cost becomes
+            # max(decode, step) instead of decode + step + RTT.  lag=0
+            # preserves strict per-frame sync.
+            if len(pending) > fetch_lag:
+                with perf.time("fetch"):
+                    _drain(pending.popleft())
             frames += 1
+        while pending:
+            with perf.time("fetch"):
+                _drain(pending.popleft())
     finally:
         for f in feeds:
             f.stop()

@@ -708,3 +708,45 @@ def test_config_decoder_properties_reach_decoder(tmp_path):
             decoder_plugin="cv",
             decoder_props={"nope": 1},
         )
+
+
+def test_bench_e2e_cli(tmp_path, capsys, monkeypatch):
+    """bench-e2e: decode feeds the batched step; JSON line reports the
+    overlapped sustained rate and whether decode keeps up (SURVEY hard
+    part (e)).  fetch_lag pipelining must not change any result."""
+    import json as _json
+
+    from ofps_tpu.apps.batch import run_batch
+    from ofps_tpu.apps.cli import main
+    from ofps_tpu.decoders.av import encode_test_video
+
+    clip = str(tmp_path / "clip.avi")
+    encode_test_video(clip, 96, 64, frames=8, gop=30, dx=1.0, dy=0.0,
+                      pattern="noise", move_start=2, move_stop=6)
+
+    # Lag pipelining parity: identical detections + poses vs strict sync.
+    kw = dict(
+        estimators=[{"name": "almeida", "properties": {"num_iters": 8}}],
+        detector="block_motion",
+        camera_aspect=1.5,
+        camera_fov_y=90.0,
+    )
+    r0 = run_batch([clip, clip], fetch_lag=0, **kw)
+    r3 = run_batch([clip, clip], fetch_lag=3, **kw)
+    assert r0.frames == r3.frames
+    assert np.array_equal(r0.detections, r3.detections)
+    for a, b in zip(r0.poses_rot, r3.poses_rot):
+        assert np.allclose(a, b)
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    rc = main([
+        "bench-e2e", "--input", clip, "--streams", "2", "--frames", "8",
+        "--width", "96", "--height", "64", "--estimators", "almeida",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = _json.loads(line)
+    assert rec["metric"] == "e2e_stream_fps"
+    assert rec["streams"] == 2 and rec["frames"] == 8
+    assert rec["value"] > 0
+    assert isinstance(rec["decode_keeps_up"], bool)
