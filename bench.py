@@ -73,7 +73,9 @@ def build_pipeline_runner(batch: int, h: int, w: int, iters: int):
     return run
 
 
-def bench_pipeline(h: int, w: int, batches=(1, 4, 8), iters: int = 24):
+def bench_pipeline(h: int, w: int, batches=(1, 4, 8), iters: int = 96):
+    # 96 chained steps: at 24 the ~29 ms tunnel dispatch still added
+    # ~1.2 ms/frame at b1 and underreported the step rate by ~30%.
     """fps of the complete step per batch size (one warm compile each)."""
     out = {}
     for b in batches:

@@ -239,11 +239,17 @@ def _axis_scatter_matrix(n: int, g: int) -> jnp.ndarray:
     """
     import numpy as np
 
+    return jnp.asarray(_axis_scatter_matrix_np(n, g))
+
+
+def _axis_scatter_matrix_np(n: int, g: int):
+    import numpy as np
+
     p = (np.arange(n) + 0.5) / n
     cell = np.floor(p * (g - 1) + 0.5).astype(np.int32)
     m = np.zeros((n, g), dtype=np.float32)
     m[np.arange(n), cell] = 1.0
-    return jnp.asarray(m)
+    return m
 
 
 def grid_downsample_field(field: jnp.ndarray, gw: int, gh: int) -> jnp.ndarray:
@@ -271,6 +277,7 @@ def grid_downsample_uv(
     gw: int,
     gh: int,
     norm_wh: Optional[Tuple[int, int]] = None,
+    border_px: int = 0,
 ) -> jnp.ndarray:
     """Split-plane variant of :func:`grid_downsample_field`.
 
@@ -278,12 +285,38 @@ def grid_downsample_uv(
     upcasts on the fly, so the HBM read stays half-width).  ``norm_wh``
     additionally converts pixel units to the [0,1]-normalized decoder
     convention by (W, H) division, folded into the tiny grid-sized output
-    instead of a full-resolution pass.  Returns (..., gh, gw, 2) float32.
+    instead of a full-resolution pass.  ``border_px`` excludes the outer
+    pixel band from every cell mean (block matching has no valid
+    correspondence there — :func:`ofps_tpu.ops.flow_pyramid.auto_margin`);
+    cells wholly inside the band are replicated from the nearest valid
+    cell.  Because the masking lives in the static scatter matrices and
+    the replicate is a static gather over the tiny grid axes, it costs
+    nothing at full resolution.  Returns (..., gh, gw, 2) float32.
     """
+    import numpy as np
+
     h, w = u.shape[-2], u.shape[-1]
-    sy = _axis_scatter_matrix(h, gh)  # (H, gh)
-    sx = _axis_scatter_matrix(w, gw)  # (W, gw)
-    counts = jnp.sum(sy, axis=0)[:, None] * jnp.sum(sx, axis=0)[None, :]
+    sy_np = _axis_scatter_matrix_np(h, gh)  # (H, gh)
+    sx_np = _axis_scatter_matrix_np(w, gw)  # (W, gw)
+    idx_y = idx_x = None
+    if border_px > 0:
+        m = min(border_px, (h - 1) // 2, (w - 1) // 2)
+
+        def mask_axis(s_np, n, g):
+            s_np = s_np.copy()
+            s_np[:m] = 0.0
+            s_np[n - m:] = 0.0
+            col = s_np.sum(axis=0)  # valid pixels per grid cell
+            valid = np.nonzero(col > 0)[0]
+            idx = np.clip(np.arange(g), valid.min(), valid.max())
+            return s_np, jnp.asarray(idx)
+
+        sy_np, idx_y = mask_axis(sy_np, h, gh)
+        sx_np, idx_x = mask_axis(sx_np, w, gw)
+    sy, sx = jnp.asarray(sy_np), jnp.asarray(sx_np)
+    counts = jnp.maximum(
+        jnp.sum(sy, axis=0)[:, None] * jnp.sum(sx, axis=0)[None, :], 1.0
+    )
 
     def ds(x):
         t = jnp.einsum(
@@ -296,7 +329,10 @@ def grid_downsample_uv(
     if norm_wh is not None:
         su = su / norm_wh[0]
         sv = sv / norm_wh[1]
-    return jnp.stack([su, sv], axis=-1)
+    out = jnp.stack([su, sv], axis=-1)
+    if idx_y is not None:
+        out = jnp.take(jnp.take(out, idx_y, axis=-3), idx_x, axis=-2)
+    return out
 
 
 def gaussian_blur(field: jnp.ndarray, ksize: int, sigma: float = 0.0) -> jnp.ndarray:

@@ -95,6 +95,62 @@ class FlowParams(NamedTuple):
     # whole-pipeline speedup; subpixel accuracy on diagonal residuals is
     # gated by tests against the full path).
     axis_sep: bool = True
+    # Border handling: block matching has no valid correspondence in the
+    # band where content leaves/enters the frame, producing a ~4% gross-
+    # outlier tail (tens of px) hugging the frame edge that poisons the
+    # non-robust consumers (plain-LSQ almeida).  The band's interior-nearest
+    # flow replaces it ("replicate"); None = auto margin from the coarse
+    # level's matching footprint, 0 disables.
+    border_margin: Optional[int] = None
+    # Median-filter the flow between pyramid levels (the standard block-
+    # matching post-filter; OpenCV's pyramidal matchers do the same):
+    # isolated wide-search mismatches at the coarse levels otherwise
+    # propagate down as gross outliers the +-1px fine refines cannot
+    # recover.  Applied at levels >= 2 (the finer refines are +-1px and
+    # cannot create new gross outliers), so the cost rides the cheap
+    # quarter-resolution-and-below levels.
+    median_levels: bool = True
+    # Warm-start guard: solve the coarsest level from BOTH the warm init
+    # and a zero init and keep the per-pixel SAD winner, so the temporal
+    # feedback loop cannot lock onto a runaway warm field (see
+    # _coarse_guard).  Costs one extra coarse solve + two tiny SADs; False
+    # disables (perf bisection / cold-start-only embedders).
+    guarded_warm: bool = True
+
+
+def auto_margin(params: FlowParams, levels: int, h: int, w: int) -> int:
+    """Edge-band width to replicate over: the coarse level's matching
+    footprint (half window + 1) upsampled to full resolution, capped at an
+    eighth of the frame."""
+    if params.border_margin is not None:
+        m = params.border_margin
+    else:
+        m = (params.win // 2 + 1) * 2 ** max(levels - 2, 0)
+    return max(0, min(m, (h - 1) // 8, (w - 1) // 8))
+
+
+def border_margin_px(params: FlowParams, h: int, w: int) -> int:
+    """Public helper: the invalid edge-band width (px) of a (h, w) flow.
+
+    Consumers of the raw ``dense_flow_warm`` planes must neutralize this
+    band themselves — cheapest at grid resolution
+    (:func:`ofps_tpu.core.motion.grid_downsample_uv` ``border_px=``), which
+    costs nothing at full resolution; ``dense_flow`` instead folds a
+    full-resolution replicate into its output cast.
+    """
+    return auto_margin(params, effective_levels(params, h, w), h, w)
+
+
+def _replicate_border_uv(u, v, m: int):
+    """Overwrite the outer ``m``-pixel band with the nearest interior value."""
+    if m <= 0:
+        return u, v
+    pad = [(0, 0)] * (u.ndim - 2) + [(m, m), (m, m)]
+
+    def fix(x):
+        return jnp.pad(x[..., m:-m, m:-m], pad, mode="edge")
+
+    return fix(u), fix(v)
 
 
 def effective_levels(params: FlowParams, h: int, w: int) -> int:
@@ -110,26 +166,40 @@ def _level_refine(i1, warped, search: int, win: int, cost_dtype=jnp.bfloat16):
     """Residual displacement for one level: cost sweep + argmin + subpixel.
 
     Bandwidth-lean formulation: the (2R+1)^2 candidate costs are *never
-    stacked into an (..., S) volume*.  Pass A keeps a running (min cost,
-    argmin) pair across the unrolled candidate sweep; pass B re-selects the
-    five parabola neighbors by indicator accumulation over the same sweep.
-    XLA CSEs the candidate costs between passes, so the volume lives as S
-    small per-candidate buffers (bf16 by default) instead of a stacked f32
-    volume read 6+ times — this alone took the 1080p kernel from 115 to
-    several hundred fps/chip.
+    stacked into an (..., S) volume*.  Pass A carries a running (min cost,
+    flat argmin) pair across a `lax.fori_loop` candidate sweep; pass B
+    re-selects the five parabola neighbors by indicator accumulation over a
+    second sweep.  The loop matters for COMPILE time, not run time: the
+    previous Python-unrolled sweep emitted ~70 ops per candidate (20k-line
+    HLO at search=6), which LLVM on XLA:CPU chewed for 13 *minutes*; the
+    rolled form compiles in seconds and computes the identical argmin
+    (same scan order, same strict-< tie-breaking).  This path only serves
+    backends without the fused Pallas kernel (CPU tests, spatially-sharded
+    meshes); the TPU hot path is pallas/flow_refine.py.
     """
-    shifts = [(dx, dy) for dy in range(-search, search + 1)
-              for dx in range(-search, search + 1)]
+    side = 2 * search + 1
+    n_cand = side * side
     h, w = i1.shape[-2], i1.shape[-1]
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    def cand_cost(dx, dy):
+    pads = [(0, 0)] * (warped.ndim - 2) + [(search, search), (search, search)]
+    wpad = jnp.pad(warped, pads, constant_values=0.0)
+
+    def cand_cost(s):
+        # Flat candidate index s -> (dx, dy), row-major with dy outer (the
+        # same order as the Pallas kernel's sweep).
+        dy = s // side - search
+        dx = s % side - search
+        # out[..., y, x] = warped[..., y + dy, x + dx] (zero fill), as a
+        # dynamic slice of the padded plane so the loop body is shift-free.
+        start = (0,) * (warped.ndim - 2) + (search + dy, search + dx)
+        shifted = jax.lax.dynamic_slice(wpad, start, warped.shape)
         # The pixel SUBTRACT stays f32 (bf16 operands at ~2^7 magnitude
         # quantize to ±0.5 gray levels — fatal on low-contrast scenes); the
         # small |diff| values may round to cost_dtype (bf16: ~0.4% relative),
         # and the 25-tap SAD aggregation always accumulates in f32 so sums
         # of ~6e3 magnitude can't flip argmin between near-tied candidates.
-        diff = jnp.abs(i1 - shift2d(warped, dx, dy, fill=0.0))
+        diff = jnp.abs(i1 - shifted)
         c = box_filter(diff.astype(cost_dtype).astype(jnp.float32), win)
         # Penalize out-of-image samples so borders prefer small shifts.
         oob = (
@@ -137,50 +207,37 @@ def _level_refine(i1, warped, search: int, win: int, cost_dtype=jnp.bfloat16):
         )
         return jnp.where(oob, _BIG, c)
 
-    # Two-phase selection (same structure as the Pallas kernel): per-dy row
-    # (min, argmin) first, then a reduction across rows, then parabola
-    # neighbors re-selected from the per-row candidate lists.  The previous
-    # flat indicator sweep issued 5 selects per candidate (845 ops at
-    # search=6) — pure launch overhead at the small coarse levels.
-    side = 2 * search + 1
+    best_c = cand_cost(0)
+    best_s = jnp.zeros(best_c.shape, jnp.int32)
 
-    def select_at(ix, clist):
-        val = clist[0]
-        for k in range(1, side):
-            val = jnp.where(ix == k - search, clist[k], val)
-        return val
+    def pass_a(s, carry):
+        bc, bs = carry
+        c = cand_cost(s)
+        take = c < bc
+        return jnp.where(take, c, bc), jnp.where(take, s, bs)
 
-    rows = []
-    for dy in range(-search, search + 1):
-        clist = [cand_cost(dx, dy) for dx in range(-search, search + 1)]
-        rmin = clist[0]
-        rbx = jnp.full(clist[0].shape, -search, jnp.int32)
-        for k in range(1, side):
-            take = clist[k] < rmin
-            rmin = jnp.where(take, clist[k], rmin)
-            rbx = jnp.where(take, k - search, rbx)
-        rows.append((rmin, rbx, clist))
+    best_c, best_s = jax.lax.fori_loop(1, n_cand, pass_a, (best_c, best_s))
+    bx = best_s % side - search
+    by = best_s // side - search
 
-    best_c, bx, _ = rows[0]
-    by = jnp.full(best_c.shape, -search, jnp.int32)
-    for k in range(1, side):
-        rmin, rbx, _ = rows[k]
-        take = rmin < best_c
-        best_c = jnp.where(take, rmin, best_c)
-        bx = jnp.where(take, rbx, bx)
-        by = jnp.where(take, k - search, by)
+    # Flat indices of the clamped parabola neighbors (edge -> center, same
+    # as the previous clamped selects; parabola() zeroes edge offsets).
+    sxm = best_s - jnp.where(bx > -search, 1, 0)
+    sxp = best_s + jnp.where(bx < search, 1, 0)
+    sym = best_s - jnp.where(by > -search, side, 0)
+    syp = best_s + jnp.where(by < search, side, 0)
 
-    bxm = jnp.maximum(bx - 1, -search)
-    bxp = jnp.minimum(bx + 1, search)
-    bym = jnp.maximum(by - 1, -search)
-    byp = jnp.minimum(by + 1, search)
+    def pass_b(s, acc):
+        c = cand_cost(s)
+        return tuple(
+            jnp.where(s == idx, c, a)
+            for idx, a in zip((best_s, sxm, sxp, sym, syp), acc)
+        )
 
-    row_at_bx = [select_at(bx, rows[k][2]) for k in range(side)]
-    c0 = select_at(by, row_at_bx)
-    cym = select_at(bym, row_at_bx)
-    cyp = select_at(byp, row_at_bx)
-    cxm = select_at(by, [select_at(bxm, rows[k][2]) for k in range(side)])
-    cxp = select_at(by, [select_at(bxp, rows[k][2]) for k in range(side)])
+    zero = jnp.zeros_like(best_c)
+    c0, cxm, cxp, cym, cyp = jax.lax.fori_loop(
+        0, n_cand, pass_b, (zero,) * 5
+    )
 
     def parabola(cm, cc, cp, at_edge):
         denom = cm - 2.0 * cc + cp
@@ -226,6 +283,38 @@ def _dense_flow_impl(
             return params.fine_search
         return params.search
 
+    # Temporal warm-start stability: the coarse search spans warm +-
+    # coarse_search, so a warm value beyond the search radius can push the
+    # TRUE (near-zero) offset out of the window entirely — wrong regions
+    # then random-walk at coarse-step scale and grow without bound across
+    # frames (observed: |u|max 10 -> 105 px over 9 frames).  Two defenses:
+    # (1) clamp the warm init to coarse_search - 1 coarse px so the zero-
+    # motion candidate stays inside every window, and (2) a GUARDED warm
+    # start — the coarsest level (a few thousand pixels) is solved from
+    # both the warm init and a zero init, and the winner is selected
+    # per-pixel by aggregated SAD, so the cold solution always competes and
+    # the feedback loop cannot lock in.  Farneback tolerates
+    # OPTFLOW_USE_INITIAL_FLOW without this because its solve is
+    # least-squares on polynomial expansions, not a local search.
+    _warm_clamp = float(params.coarse_search - 1)
+
+    def _coarse_guard(a, b, u_w, v_w, u_0, v_0):
+        from ofps_tpu.ops.image import box_filter
+
+        def sad(uu, vv):
+            f = jnp.stack(
+                [uu.astype(jnp.float32), vv.astype(jnp.float32)], axis=-1
+            )
+            return box_filter(
+                jnp.abs(a - _warp(b, f, allow_pallas=False)), params.win
+            )
+
+        better = sad(u_w, v_w) <= sad(u_0, v_0)
+        return (
+            jnp.where(better, u_w, u_0.astype(u_w.dtype)),
+            jnp.where(better, v_w, v_0.astype(v_w.dtype)),
+        )
+
     warm_out = None
     if on_tpu:
         # Fused-kernel path: flow carried as split (u, v) components — the
@@ -243,6 +332,8 @@ def _dense_flow_impl(
             scale = h / u0.shape[-2]
             u = resize_bilinear_matmul(u0.astype(jnp.float32), h, w) * scale
             v = resize_bilinear_matmul(v0.astype(jnp.float32), h, w) * scale
+            u = jnp.clip(u, -_warm_clamp, _warm_clamp)
+            v = jnp.clip(v, -_warm_clamp, _warm_clamp)
 
         for lvl in range(levels - 1, -1, -1):
             a, b = pyr1[lvl], pyr2[lvl]
@@ -257,29 +348,47 @@ def _dense_flow_impl(
                 v = jnp.zeros(shp, jnp.float32)
             coarse = u.shape[-2] != h or u.shape[-1] != w
             out_dtype = jnp.bfloat16 if lvl > 0 else params.flow_dtype
-            if fused:
-                # Coarse flow feeds the kernel directly: the 2x upsample
-                # happens in VMEM (no standalone upsample pass).
-                u, v = flow_refine_uv(
-                    a, b, u, v, search, params.win, coarse_flow=coarse,
-                    out_dtype=out_dtype, axis_sep=params.axis_sep,
-                )
-            else:
-                if coarse:
-                    u = resize_bilinear_matmul(u.astype(jnp.float32), h, w) * 2.0
-                    v = resize_bilinear_matmul(v.astype(jnp.float32), h, w) * 2.0
+
+            def refine_one(ui, vi, _a=a, _b=b, _s=search, _f=fused, _c=coarse,
+                           _h=h, _w=w, _dt=out_dtype):
+                if _f:
+                    # Coarse flow feeds the kernel directly: the 2x upsample
+                    # happens in VMEM (no standalone upsample pass).
+                    return flow_refine_uv(
+                        _a, _b, ui, vi, _s, params.win, coarse_flow=_c,
+                        out_dtype=_dt, axis_sep=params.axis_sep,
+                    )
+                if _c:
+                    ui = resize_bilinear_matmul(ui.astype(jnp.float32), _h, _w) * 2.0
+                    vi = resize_bilinear_matmul(vi.astype(jnp.float32), _h, _w) * 2.0
                 # Small levels: one whole-image-in-VMEM kernel launch beats
                 # the ~10^3 tiny XLA ops of the wide coarse search.
                 from ofps_tpu.pallas.flow_refine_small import (
                     flow_refine_small_uv,
                 )
 
-                u, v = flow_refine_small_uv(
-                    a, b, u.astype(jnp.float32), v.astype(jnp.float32),
-                    search, params.win,
+                return flow_refine_small_uv(
+                    _a, _b, ui.astype(jnp.float32), vi.astype(jnp.float32),
+                    _s, params.win,
                 )
+
+            if lvl == levels - 1 and init_uv is not None and params.guarded_warm:
+                u_w, v_w = refine_one(u, v)
+                u_0, v_0 = refine_one(jnp.zeros_like(u), jnp.zeros_like(v))
+                u, v = _coarse_guard(a, b, u_w, v_w, u_0, v_0)
+            else:
+                u, v = refine_one(u, v)
+            if params.median_levels and lvl >= 2:
+                from ofps_tpu.ops.image import median3x3
+
+                u, v = median3x3(u), median3x3(v)
             if lvl == 1 or levels == 1:
                 warm_out = (u, v)
+        # NOTE: the outer auto_margin() band has no valid correspondence
+        # (content enters/leaves the frame); callers neutralize it —
+        # dense_flow() replicates at full res fused with its output cast,
+        # the serving path replicates at grid res (both ~free), keeping an
+        # extra full-res HBM pass (~0.3 ms at 1080p) off this hot path.
         return u, v, warm_out
 
     flow = None
@@ -297,6 +406,7 @@ def _dense_flow_impl(
             )
             * scale
         )
+        flow = jnp.clip(flow, -_warm_clamp, _warm_clamp)
 
     for lvl in range(levels - 1, -1, -1):
         a, b = pyr1[lvl], pyr2[lvl]
@@ -306,11 +416,32 @@ def _dense_flow_impl(
             flow = jnp.zeros(a.shape + (2,), jnp.float32)
         elif flow.shape[-3] != h or flow.shape[-2] != w:
             flow = upsample2_flow(flow, h, w)
-        warped = _warp(b, flow, allow_pallas=on_tpu)
-        flow = flow + _level_refine(a, warped, search, params.win, params.cost_dtype)
+        if lvl == levels - 1 and init_uv is not None and params.guarded_warm:
+            # Guarded warm start (see _coarse_guard above).
+            f_w = flow + _level_refine(
+                a, _warp(b, flow, allow_pallas=on_tpu), search, params.win,
+                params.cost_dtype,
+            )
+            f_0 = _level_refine(a, b, search, params.win, params.cost_dtype)
+            u_g, v_g = _coarse_guard(
+                a, b, f_w[..., 0], f_w[..., 1], f_0[..., 0], f_0[..., 1]
+            )
+            flow = jnp.stack([u_g, v_g], axis=-1)
+        else:
+            warped = _warp(b, flow, allow_pallas=on_tpu)
+            flow = flow + _level_refine(
+                a, warped, search, params.win, params.cost_dtype
+            )
+        if params.median_levels and lvl >= 2:
+            from ofps_tpu.ops.image import median3x3
+
+            flow = jnp.stack(
+                [median3x3(flow[..., 0]), median3x3(flow[..., 1])], axis=-1
+            )
         if lvl == 1 or levels == 1:
             warm_out = (flow[..., 0], flow[..., 1])
 
+    # Border band left in place — see the fused-path note above.
     return flow[..., 0], flow[..., 1], warm_out
 
 
@@ -330,9 +461,15 @@ def dense_flow(
     if init_flow is not None:
         init_uv = (init_flow[..., 0], init_flow[..., 1])
     u, v, _ = _dense_flow_impl(i1, i2, params, init_uv)
-    return jnp.stack(
-        [u.astype(jnp.float32), v.astype(jnp.float32)], axis=-1
+    # The outer band has no valid correspondence (auto_margin); replicate
+    # the interior-nearest flow over it, fused with the f32 output cast.
+    u, v = _replicate_border_uv(
+        u.astype(jnp.float32),
+        v.astype(jnp.float32),
+        auto_margin(params, effective_levels(params, *u.shape[-2:]),
+                    *u.shape[-2:]),
     )
+    return jnp.stack([u, v], axis=-1)
 
 
 def dense_flow_warm(

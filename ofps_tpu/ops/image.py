@@ -179,3 +179,35 @@ def warp_bilinear(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
         + v10 * (1 - fx) * fy
         + v11 * fx * fy
     )
+
+
+def median3x3(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 median filter via a 19-exchange selection network (edge clamp).
+
+    The standard block-matching flow post-filter (OpenCV's pyramidal
+    matchers median-filter between levels); kills isolated gross outliers
+    while leaving smooth fields untouched.  Pure min/max VPU work — no
+    sorts, no gathers.
+    """
+    pad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)]
+    xp = jnp.pad(x, pad, mode="edge")
+    h, w = x.shape[-2], x.shape[-1]
+    p = [
+        xp[..., dy : dy + h, dx : dx + w]
+        for dy in range(3)
+        for dx in range(3)
+    ]
+
+    def ex(i, j):
+        a = jnp.minimum(p[i], p[j])
+        b = jnp.maximum(p[i], p[j])
+        p[i], p[j] = a, b
+
+    # Median-of-9 exchange network (Smith, Graphics Gems).
+    for i, j in (
+        (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+        (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+        (4, 2), (6, 4), (4, 2),
+    ):
+        ex(i, j)
+    return p[4]

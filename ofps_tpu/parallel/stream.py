@@ -40,6 +40,8 @@ from ofps_tpu.detectors.base import DetectionResult, DetectorInstance
 from ofps_tpu.estimators.base import EstimatorInstance
 from ofps_tpu.ops.flow_pyramid import (
     FlowParams,
+    _replicate_border_uv,
+    border_margin_px,
     dense_flow_warm,
     effective_levels,
 )
@@ -242,7 +244,12 @@ class StreamPipeline:
         )
 
         gw, gh = self.grid_wh or grid_size_for(w, h)
-        grid = grid_downsample_uv(u, v, gw, gh, norm_wh=(w, h))
+        # Exclude the invalid edge band at grid resolution (~free) instead
+        # of a full-res replicate pass on the hot path.
+        grid = grid_downsample_uv(
+            u, v, gw, gh, norm_wh=(w, h),
+            border_px=border_margin_px(self.flow_params, h, w),
+        )
         grid = constrain(grid, self.shard.batch)
         sparse = jax.vmap(field_to_sparse)(grid)
 
@@ -258,9 +265,11 @@ class StreamPipeline:
             est=est,
         )
         if self.emit_dense_flow:
-            flow_px = jnp.stack(
-                [u.astype(jnp.float32), v.astype(jnp.float32)], axis=-1
+            ur, vr = _replicate_border_uv(
+                u.astype(jnp.float32), v.astype(jnp.float32),
+                border_margin_px(self.flow_params, h, w),
             )
+            flow_px = jnp.stack([ur, vr], axis=-1)
             flow_px = constrain(flow_px, self.shard.flow)
         else:
             flow_px = jnp.zeros((gray.shape[0], 0, 0, 2), jnp.float32)
