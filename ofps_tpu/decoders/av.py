@@ -80,6 +80,16 @@ def _load_native():
         ctypes.POINTER(ctypes.c_int),
         ctypes.c_int,
     ]
+    lib.ofps_av_encode_gray.restype = ctypes.c_int
+    lib.ofps_av_encode_gray.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int64,
+        ctypes.c_char_p,
+    ]
     _lib = lib
     return lib
 
@@ -128,6 +138,31 @@ def encode_test_video(
     )
     if rc != 0:
         raise RuntimeError(f"test-clip encoder failed ({rc})")
+
+
+def encode_gray_video(
+    path: str, frames, gop: int = 30, bit_rate: int = 0
+) -> None:
+    """Encode caller-provided grayscale frames to an MPEG-4 clip.
+
+    ``frames``: (N, H, W) uint8 (anything array-like is converted).  No
+    B-frames, so every inter frame carries forward codec motion vectors —
+    this turns arbitrary rendered/captured content into a REAL codec-MV
+    source for the `av` decoder, the reference's primary input path
+    (av-decoder/src/lib.rs).  ``bit_rate`` 0 = default (w*h*8 bps).
+    """
+    import numpy as np
+
+    lib = _load_native()
+    arr = np.ascontiguousarray(np.asarray(frames, dtype=np.uint8))
+    if arr.ndim != 3:
+        raise ValueError(f"frames must be (N, H, W) uint8, got {arr.shape}")
+    n, h, w = arr.shape
+    rc = lib.ofps_av_encode_gray(
+        path.encode(), w, h, n, gop, int(bit_rate), arr.tobytes()
+    )
+    if rc != 0:
+        raise RuntimeError(f"gray-frame encoder failed ({rc})")
 
 
 @register("av")

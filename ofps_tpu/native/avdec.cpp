@@ -250,13 +250,13 @@ int ofps_av_encode_test_ex(const char *path, int w, int h, int nframes,
                                     &move_start, &move_stop, 1);
 }
 
-// Multiple motion-event windows (the 30-min CCTV burglary scenario of the
-// reference evaluation, docs/report.tex:919: long still spans punctuated by
-// short motion events).
-int ofps_av_encode_test_events(const char *path, int w, int h, int nframes,
-                               int gop, float dx, float dy, int pattern,
-                               const int *starts, const int *stops,
-                               int n_events) {
+// Shared MPEG-4 encode scaffold: opens `path`, encodes `nframes` luma
+// planes produced by `fill(user, t, dst, linesize)` (chroma fixed at
+// gray), no B-frames so every inter frame carries forward MVs.
+static int encode_clip(const char *path, int w, int h, int nframes, int gop,
+                       int64_t bit_rate,
+                       void (*fill)(void *, int, uint8_t *, int),
+                       void *user) {
   AVFormatContext *fmt = nullptr;
   if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 || !fmt)
     return -1;
@@ -273,7 +273,7 @@ int ofps_av_encode_test_events(const char *path, int w, int h, int nframes,
   cc->time_base = {1, 30};
   cc->gop_size = gop;
   cc->max_b_frames = 0;
-  cc->bit_rate = (int64_t)w * h * 8;
+  cc->bit_rate = bit_rate;
   if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
     cc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
   if (avcodec_open2(cc, enc, nullptr) < 0) return -4;
@@ -304,30 +304,9 @@ int ofps_av_encode_test_events(const char *path, int w, int h, int nframes,
     }
   };
 
-  float ox = 0.0f, oy = 0.0f;
   for (int t = 0; t < nframes; t++) {
     av_frame_make_writable(fr);
-    bool moving = false;
-    for (int e = 0; e < n_events; e++)
-      if (t >= starts[e] && t < stops[e]) moving = true;
-    if (moving) {
-      ox += dx;
-      oy += dy;
-    }
-    for (int y = 0; y < h; y++) {
-      for (int x = 0; x < w; x++) {
-        float val;
-        if (pattern == 1) {
-          val = 128.0f + 180.0f * value_noise(x - ox, y - oy);
-        } else {
-          float u = (x - ox) * 0.19f, v = (y - oy) * 0.23f;
-          val = 128.0f + 55.0f * sinf(u) * cosf(v) +
-                35.0f * sinf(0.061f * (x - ox) + 0.083f * (y - oy));
-        }
-        fr->data[0][y * fr->linesize[0] + x] =
-            (uint8_t)(val < 0 ? 0 : (val > 255 ? 255 : val));
-      }
-    }
+    fill(user, t, fr->data[0], fr->linesize[0]);
     for (int y = 0; y < h / 2; y++) {
       memset(fr->data[1] + y * fr->linesize[1], 128, w / 2);
       memset(fr->data[2] + y * fr->linesize[2], 128, w / 2);
@@ -345,6 +324,76 @@ int ofps_av_encode_test_events(const char *path, int w, int h, int nframes,
   if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
   avformat_free_context(fmt);
   return 0;
+}
+
+// Synthetic test-clip generator state: a smooth texture translating
+// (dx, dy) px/frame inside the motion-event windows.
+struct OfpsTestClipGen {
+  float dx, dy, ox, oy;
+  int pattern, w, h, n_events;
+  const int *starts, *stops;
+};
+
+static void ofps_fill_test_clip(void *user, int t, uint8_t *dst, int ls) {
+  auto *g = (OfpsTestClipGen *)user;
+  bool moving = false;
+  for (int e = 0; e < g->n_events; e++)
+    if (t >= g->starts[e] && t < g->stops[e]) moving = true;
+  if (moving) {
+    g->ox += g->dx;
+    g->oy += g->dy;
+  }
+  for (int y = 0; y < g->h; y++) {
+    for (int x = 0; x < g->w; x++) {
+      float val;
+      if (g->pattern == 1) {
+        val = 128.0f + 180.0f * value_noise(x - g->ox, y - g->oy);
+      } else {
+        float u = (x - g->ox) * 0.19f, v = (y - g->oy) * 0.23f;
+        val = 128.0f + 55.0f * sinf(u) * cosf(v) +
+              35.0f * sinf(0.061f * (x - g->ox) + 0.083f * (y - g->oy));
+      }
+      dst[y * ls + x] = (uint8_t)(val < 0 ? 0 : (val > 255 ? 255 : val));
+    }
+  }
+}
+
+// Multiple motion-event windows (the 30-min CCTV burglary scenario of the
+// reference evaluation, docs/report.tex:919: long still spans punctuated by
+// short motion events).
+int ofps_av_encode_test_events(const char *path, int w, int h, int nframes,
+                               int gop, float dx, float dy, int pattern,
+                               const int *starts, const int *stops,
+                               int n_events) {
+  OfpsTestClipGen g{dx, dy, 0.0f, 0.0f, pattern, w, h, n_events, starts,
+                    stops};
+  return encode_clip(path, w, h, nframes, gop, (int64_t)w * h * 8,
+                     ofps_fill_test_clip, &g);
+}
+
+// Caller-provided grayscale frames (row-major uint8, nframes*h*w bytes) ->
+// MPEG-4 clip whose inter frames carry codec motion vectors.  This is how
+// arbitrary rendered/captured content (e.g. the evaluation clips) becomes
+// a REAL codec-MV source, matching the reference's primary decoder
+// (av-decoder/src/lib.rs) instead of synthesizing fields.
+// bit_rate <= 0 selects the default w*h*8 (same as the test encoder).
+struct OfpsGrayFrames {
+  const uint8_t *p;
+  int w, h;
+};
+
+static void ofps_fill_gray(void *user, int t, uint8_t *dst, int ls) {
+  auto *g = (OfpsGrayFrames *)user;
+  const uint8_t *src = g->p + (size_t)t * g->w * g->h;
+  for (int y = 0; y < g->h; y++)
+    memcpy(dst + (size_t)y * ls, src + (size_t)y * g->w, g->w);
+}
+
+int ofps_av_encode_gray(const char *path, int w, int h, int nframes, int gop,
+                        int64_t bit_rate, const uint8_t *frames) {
+  OfpsGrayFrames g{frames, w, h};
+  if (bit_rate <= 0) bit_rate = (int64_t)w * h * 8;
+  return encode_clip(path, w, h, nframes, gop, bit_rate, ofps_fill_gray, &g);
 }
 
 }  // extern "C"

@@ -121,3 +121,38 @@ def test_mvec_dump_round_trip(clip, tmp_path):
         np.testing.assert_array_equal(g.pos, pos)
         np.testing.assert_array_equal(g.motion, motion)
     assert r.process_frame() is None
+
+
+def test_encode_gray_round_trip(tmp_path):
+    """Arbitrary-frame encoder: known-shift noise frames -> codec MVs.
+
+    `encode_gray_video` is what turns rendered content (e.g. the evaluation
+    clips) into a REAL codec-MV source (reference av-decoder path)."""
+    from ofps_tpu.decoders.av import encode_gray_video
+
+    rng = np.random.default_rng(3)
+    w, h, n = 192, 160, 12
+    big = rng.uniform(0, 255, (h, w + 4 * n)).astype(np.float32)
+    # Smooth it so the codec can actually match blocks.
+    for _ in range(2):
+        big = (big + np.roll(big, 1, 0) + np.roll(big, 1, 1)
+               + np.roll(big, -1, 0) + np.roll(big, -1, 1)) / 5.0
+    frames = np.stack(
+        [big[:, 3 * t : 3 * t + w] for t in range(n)]
+    ).astype(np.uint8)
+
+    path = str(tmp_path / "gray.avi")
+    encode_gray_video(path, frames, gop=30)
+
+    d = create_decoder(path)
+    assert d.get_aspect() == (w, h)
+    assert not d.process_frame().has_mvs  # I-frame
+    med = []
+    for _ in range(n - 1):
+        f = d.process_frame()
+        assert f is not None and f.has_mvs
+        med.append(np.median(f.motion[:, 0]) * w)
+    # The sampling window pans +3 px/frame in x, so the CONTENT moves
+    # -3 px/frame in the frame (reference convention: content motion).
+    assert np.median(med) == pytest.approx(-3.0, abs=0.5)
+    assert d.process_frame() is None

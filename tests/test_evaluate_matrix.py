@@ -1,0 +1,167 @@
+"""CI gate on the quantitative evaluation matrix (scaled down).
+
+The reference publishes per-(source, estimator) average rotation errors over
+8 Blender clips (docs/report.tex:919-1186, BASELINE.md).  Nothing gated
+those numbers here until round 3 — regressions in flow quality or estimator
+accuracy were invisible to CI.  This runs two clips (the hardest,
+always-moving clip 0 and an easy clip 5) through the gt-mv and block-flow
+sources and asserts per-config error ceilings calibrated on THIS (CPU-mesh)
+platform with ~1.7x headroom (argmin ties and RANSAC draws wiggle the
+numbers a few percent).
+
+Platform note: CI runs the XLA reference flow path, the TPU serving path
+runs the fused Pallas kernels; their outlier tails differ, and plain-LSQ
+almeida (no robustness) amplifies that difference ~3x (CPU 0.149 / TPU
+0.053 deg on clip 0), so its ceilings are calibrated per-path while every
+robust config agrees across platforms within ~2x.  docs_stats/SUMMARY.md
+carries the TPU numbers.
+
+Reference comparison points (Farneback column, BASELINE.md): plain almeida
+0.0205 deg/frame, homography 0.0285 deg/frame.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+import scripts.evaluate_matrix as em
+from ofps_tpu.apps import gt as gtmod
+from ofps_tpu.core.camera import StandardCamera
+from ofps_tpu.core.motion import field_to_sparse, grid_downsample_uv
+from ofps_tpu.estimators.base import create_estimator
+from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow_warm
+from synthetic import euler_deg, synthetic_field
+
+# (label, estimator, props) -> max avg deg/frame per (source, clip).
+GATES = {
+    ("gt-mv", 0): {"almeida": 1e-3, "almeida-ransac": 1e-3,
+                   "homography-ransac": 0.02, "multiview-lmeds": 0.06},
+    ("block", 0): {"almeida": 0.25, "almeida-ransac": 0.025,
+                   "homography-ransac": 0.06, "multiview-lmeds": 0.05},
+    ("block", 5): {"almeida": 0.06, "almeida-ransac": 0.018,
+                   "homography-ransac": 0.05, "multiview-lmeds": 0.035},
+    # Real codec MVs through the native MPEG-4 encoder+decoder (the
+    # reference's primary source; its av column reads 0.0237/0.0480 on the
+    # representative clips — we gate at ~2-8x better).
+    ("av", 0): {"almeida": 0.012, "almeida-ransac": 0.018,
+                "homography-ransac": 0.09},
+    ("av", 5): {"almeida": 0.010, "almeida-ransac": 0.015,
+                "homography-ransac": 0.09},
+}
+
+CONFIGS = [
+    ("almeida", "almeida", {"use_ransac": False}),
+    ("almeida-ransac", "almeida", {}),
+    ("homography-ransac", "homography", {}),
+    ("multiview-lmeds", "multiview", {"use_ransac": False}),
+]
+
+
+@pytest.fixture(scope="module")
+def camera():
+    return StandardCamera.create(1.0, 90.0)
+
+
+def _run_configs(camera, fields, truth_qs, only=None):
+    errs = {}
+    for label, name, props in CONFIGS:
+        if only is not None and label not in only:
+            continue
+        est = create_estimator(name, **props)
+        fn = jax.jit(est.estimate)
+        key = jax.random.PRNGKey(7)
+        state = est.init()
+        out = []
+        for fl in fields:
+            key, sub = jax.random.split(key)
+            r, _, state = fn(state, fl, camera, sub)
+            out.append(np.asarray(r))
+        errs[label] = float(
+            np.degrees(
+                np.mean(
+                    [
+                        gtmod._qangle(gtmod.rotation_to(qe, qg))
+                        for qe, qg in zip(out, truth_qs)
+                    ]
+                )
+            )
+        )
+    return errs
+
+
+def _av_fields(camera, ci, tmp_path):
+    """Real codec MVs: rendered clip -> native MPEG-4 encode -> +export_mvs."""
+    import os
+
+    from ofps_tpu.core.motion import SparseFlow
+    from ofps_tpu.decoders.av import encode_gray_video
+    from ofps_tpu.decoders.base import create_decoder
+
+    frames, _ = em.render_clip(camera, em.make_schedules()[ci], seed=100 + ci)
+    arr = np.clip(
+        np.stack([np.asarray(f) for f in frames]), 0, 255
+    ).astype(np.uint8)
+    path = os.path.join(str(tmp_path), "clip.avi")
+    encode_gray_video(path, arr, gop=em.T + 2)
+    d = create_decoder(path)
+    assert not d.process_frame().has_mvs  # I-frame
+    out = []
+    for _ in range(em.T):
+        f = d.process_frame()
+        assert f is not None and f.has_mvs
+        out.append(
+            SparseFlow.from_arrays(f.pos, f.motion, capacity=em.GRID * em.GRID)
+        )
+    return out
+
+
+def _block_fields(camera, ci):
+    """Warm-carried block flow, exactly like the cv-decoder/eval harness."""
+    import jax.numpy as jnp
+
+    frames, _ = em.render_clip(camera, em.make_schedules()[ci], seed=100 + ci)
+
+    from ofps_tpu.ops.flow_pyramid import border_margin_px
+
+    @jax.jit
+    def grid_fn(a, b, warm):
+        params = FlowParams(levels=4)
+        (u, v), warm2 = dense_flow_warm(a, b, params, warm=warm)
+        return (
+            grid_downsample_uv(
+                u, v, em.GRID, em.GRID, norm_wh=(em.W, em.H),
+                border_px=border_margin_px(params, em.H, em.W),
+            ),
+            warm2,
+        )
+
+    wh, ww = (em.H + 1) // 2, (em.W + 1) // 2
+    warm = (jnp.zeros((wh, ww), jnp.float32),) * 2
+    out = []
+    for t in range(em.T):
+        grid, warm = grid_fn(frames[t], frames[t + 1], warm)
+        warm = tuple(x.astype(jnp.float32) for x in warm)
+        out.append(field_to_sparse(grid))
+    return out
+
+
+@pytest.mark.parametrize("source,ci", sorted(GATES))
+def test_matrix_gate(camera, source, ci, tmp_path):
+    deltas = em.make_schedules()[ci]
+    truth = [np.asarray(q) for q in em._truth_quats(deltas)]
+    if source == "gt-mv":
+        fields = [
+            synthetic_field(camera, euler_deg(*d), capacity=em.GRID * em.GRID)
+            for d in deltas
+        ]
+    elif source == "av":
+        fields = _av_fields(camera, ci, tmp_path)
+    else:
+        fields = _block_fields(camera, ci)
+    gates = GATES[(source, ci)]
+    errs = _run_configs(camera, fields, truth, only=set(gates))
+    for label, ceiling in gates.items():
+        assert errs[label] <= ceiling, (
+            f"{source} clip{ci} {label}: {errs[label]:.4f} > {ceiling}"
+        )
