@@ -202,3 +202,60 @@ def test_dense_flow_lk_robust_to_outlier_patch():
     f = dense_flow_lk(jnp.asarray(i1), jnp.asarray(i2), LKParams(levels=3))
     ring = np.asarray(f)[20:36, 40:120, 0]  # just above the occluder
     assert abs(np.median(ring) - 2.0) < 0.35
+
+
+def test_median3x3_matches_scipy():
+    from scipy.ndimage import median_filter
+
+    from ofps_tpu.ops.image import median3x3
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-10, 10, (33, 47)).astype(np.float32)
+    got = np.asarray(median3x3(jnp.asarray(x)))
+    want = median_filter(x, size=3, mode="nearest")
+    np.testing.assert_allclose(got, want, atol=0)
+    # Batched leading dim too.
+    xb = rng.uniform(-1, 1, (2, 17, 21)).astype(np.float32)
+    got_b = np.asarray(median3x3(jnp.asarray(xb)))
+    for i in range(2):
+        np.testing.assert_allclose(
+            got_b[i], median_filter(xb[i], size=3, mode="nearest"), atol=0
+        )
+
+
+def test_guarded_warm_rejects_runaway_init():
+    """A garbage warm start on a STATIC scene must not survive the coarse
+    guard (unguarded, bad warms random-walk and grow across frames)."""
+    h, w = 120, 160
+    i1 = jnp.asarray(_texture(h, w, seed=7))
+    bad = jnp.broadcast_to(jnp.asarray([9.0, -7.0]), (h, w, 2))
+    f = dense_flow(i1, i1, FlowParams(levels=3), init_flow=bad)
+    inner = np.asarray(f)[20:-20, 20:-20]
+    epe = np.linalg.norm(inner, axis=-1).mean()
+    assert epe < 0.3, epe
+    # Sanity: the guard is the thing saving us — disabled, the bad warm
+    # leaks through on a static scene (self-similar texture matches).
+    f2 = dense_flow(
+        i1, i1, FlowParams(levels=3, guarded_warm=False), init_flow=bad
+    )
+    inner2 = np.asarray(f2)[20:-20, 20:-20]
+    assert np.linalg.norm(inner2, axis=-1).mean() >= epe
+
+
+def test_dense_flow_border_replicated():
+    """The invalid edge band is overwritten with interior-nearest flow."""
+    from ofps_tpu.ops.flow_pyramid import border_margin_px
+
+    h, w = 120, 160
+    big = _texture(h, w, pad=20, seed=9)
+    i1 = jnp.asarray(big[20 : 20 + h, 20 : 20 + w])
+    i2 = jnp.asarray(big[20 : 20 + h, 23 : 23 + w])
+    params = FlowParams(levels=3)
+    f = np.asarray(dense_flow(i1, i2, params))
+    m = border_margin_px(params, h, w)
+    assert m > 0
+    # Rows/cols inside the band replicate the innermost valid line.
+    np.testing.assert_array_equal(f[:m], np.broadcast_to(f[m], (m,) + f[m].shape))
+    np.testing.assert_array_equal(f[-m:], np.broadcast_to(f[-m - 1], (m,) + f[-m - 1].shape))
+    np.testing.assert_array_equal(f[:, :m], np.broadcast_to(f[:, m : m + 1], f[:, :m].shape))
+    np.testing.assert_array_equal(f[:, -m:], np.broadcast_to(f[:, -m - 1 : -m], f[:, -m:].shape))
