@@ -32,6 +32,9 @@ from ofps_tpu.ops.image import (
 )
 
 _BIG = 1e10
+# Per-pixel-of-shift displacement prior, in box-MEAN cost units (the Pallas
+# kernels carry the same prior scaled by win^2 — their costs are box sums).
+_TIE_EPS = 1e-3
 
 
 def _warp(img: jnp.ndarray, flow: jnp.ndarray, allow_pallas: bool = True) -> jnp.ndarray:
@@ -183,7 +186,14 @@ def _level_refine(i1, warped, search: int, win: int, cost_dtype=jnp.bfloat16):
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     pads = [(0, 0)] * (warped.ndim - 2) + [(search, search), (search, search)]
-    wpad = jnp.pad(warped, pads, constant_values=0.0)
+    # EDGE padding, not zeros: with zero fill, candidates whose window taps
+    # cross the border compare i1 against 0 (~full-scale diff), an
+    # asymmetric bias that locks border pixels onto large inward shifts at
+    # the wide coarse level (observed: 6.6% gross outliers up to
+    # coarse_search * 2^(levels-1) px hugging the frame edge).  The Pallas
+    # kernels edge-extend i2 for exactly this reason; the center-pixel OOB
+    # penalty below is what keeps borders preferring small shifts.
+    wpad = jnp.pad(warped, pads, mode="edge")
 
     def cand_cost(s):
         # Flat candidate index s -> (dx, dy), row-major with dy outer (the
@@ -205,7 +215,13 @@ def _level_refine(i1, warped, search: int, win: int, cost_dtype=jnp.bfloat16):
         oob = (
             (xs + dx < 0) | (xs + dx > w - 1) | (ys + dy < 0) | (ys + dy > h - 1)
         )
-        return jnp.where(oob, _BIG, c)
+        # Tiny displacement prior (same in the Pallas kernels): edge-
+        # replicated content makes candidate costs EXACTLY tie on border
+        # plateaus, and strict-< tie-breaking would drift toward the first-
+        # scanned (most negative) shift; 1e-3/px is far below any genuine
+        # cost gap and resolves every plateau toward the smaller shift.
+        tie = _TIE_EPS * (jnp.abs(dx) + jnp.abs(dy)).astype(jnp.float32)
+        return jnp.where(oob, _BIG, c + tie)
 
     best_c = cand_cost(0)
     best_s = jnp.zeros(best_c.shape, jnp.int32)

@@ -349,7 +349,10 @@ def _refine_kernel(
         cost = _tree_box(acc, 2 * r + 1, 1, bw)
         # Back to f32 before the penalty adds: Mosaic cannot relayout
         # masks between 16-bit (bf16 compare) and 32-bit operand widths.
-        cost = cost.astype(jnp.float32) + (row_pen[dy] + col_pen[dx])
+        # The displacement prior (ops.flow_pyramid._TIE_EPS, box-SUM scale)
+        # resolves edge-replication cost plateaus toward the smaller shift.
+        tie = 1e-3 * (2 * r + 1) ** 2 * (abs(dx) + abs(dy))
+        cost = cost.astype(jnp.float32) + (row_pen[dy] + col_pen[dx] + tie)
         costs.append(cost)
 
     if stage <= 4:  # + candidate costs

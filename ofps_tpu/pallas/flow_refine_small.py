@@ -126,7 +126,11 @@ def _small_kernel(
             diff = jnp.abs(i1e - wsh)
             acc = tree_box(diff, 2 * r + 1, 0, hp)
             cost = tree_box(acc, 2 * r + 1, 1, wp)
-            clist.append(cost + row_pen[dy] + col_pen[dx] + pad_pen)
+            # Displacement prior (see ops.flow_pyramid._TIE_EPS): resolves
+            # the exact cost plateaus of edge-replicated borders toward the
+            # smaller shift.  Box-SUM scale -> x win^2.
+            tie = 1e-3 * (2 * r + 1) ** 2 * (abs(dx) + abs(dy))
+            clist.append(cost + row_pen[dy] + col_pen[dx] + pad_pen + tie)
         rmin = clist[0]
         rbx = jnp.full((hp, wp), -s, jnp.int32)
         for k in range(1, side):

@@ -9,12 +9,12 @@ sources and asserts per-config error ceilings calibrated on THIS (CPU-mesh)
 platform with ~1.7x headroom (argmin ties and RANSAC draws wiggle the
 numbers a few percent).
 
-Platform note: CI runs the XLA reference flow path, the TPU serving path
-runs the fused Pallas kernels; their outlier tails differ, and plain-LSQ
-almeida (no robustness) amplifies that difference ~3x (CPU 0.149 / TPU
-0.053 deg on clip 0), so its ceilings are calibrated per-path while every
-robust config agrees across platforms within ~2x.  docs_stats/SUMMARY.md
-carries the TPU numbers.
+Platform note: CI runs the XLA reference flow path (also the spatially-
+sharded multi-chip path); the single-chip TPU serving path runs the fused
+Pallas kernels.  Since the XLA path's border cost bias was fixed (edge-
+padded candidate windows, like the kernels) the two agree within ~15% on
+every config (clip-0 plain almeida: CPU 0.061 / TPU 0.053 deg).
+docs_stats/SUMMARY.md carries the TPU numbers.
 
 Reference comparison points (Farneback column, BASELINE.md): plain almeida
 0.0205 deg/frame, homography 0.0285 deg/frame.
@@ -37,10 +37,10 @@ from synthetic import euler_deg, synthetic_field
 GATES = {
     ("gt-mv", 0): {"almeida": 1e-3, "almeida-ransac": 1e-3,
                    "homography-ransac": 0.02, "multiview-lmeds": 0.06},
-    ("block", 0): {"almeida": 0.25, "almeida-ransac": 0.025,
-                   "homography-ransac": 0.06, "multiview-lmeds": 0.05},
-    ("block", 5): {"almeida": 0.06, "almeida-ransac": 0.018,
-                   "homography-ransac": 0.05, "multiview-lmeds": 0.035},
+    ("block", 0): {"almeida": 0.12, "almeida-ransac": 0.021,
+                   "homography-ransac": 0.055, "multiview-lmeds": 0.03},
+    ("block", 5): {"almeida": 0.017, "almeida-ransac": 0.016,
+                   "homography-ransac": 0.03, "multiview-lmeds": 0.028},
     # Real codec MVs through the native MPEG-4 encoder+decoder (the
     # reference's primary source; its av column reads 0.0237/0.0480 on the
     # representative clips — we gate at ~2-8x better).
