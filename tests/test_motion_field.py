@@ -107,3 +107,37 @@ def test_gaussian_blur_smooths():
     assert out[4, 4, 0] < 1.0
     assert out[3, 4, 0] > 0.0
     assert abs(out.sum() - 1.0) < 1e-4  # energy preserved away from borders
+
+
+def test_grid_downsample_uv_border_exclusion():
+    """border_px semantics: the outer pixel band is excluded from every
+    cell mean, and fully-banded edge cells replicate the nearest valid
+    cell (the serving path's free border neutralization)."""
+    from ofps_tpu.core.motion import grid_downsample_uv
+
+    h = w = 32
+    g = 8  # 4x4 px per cell
+    u = np.ones((h, w), np.float32)
+    v = 2 * np.ones((h, w), np.float32)
+    # Poison the outer 4-px band with huge values.
+    u[:4] = u[-4:] = u[:, :4] = u[:, -4:] = 1e3
+    v[:4] = v[-4:] = v[:, :4] = v[:, -4:] = -1e3
+
+    out0 = np.asarray(grid_downsample_uv(jnp.asarray(u), jnp.asarray(v), g, g))
+    assert out0.shape == (g, g, 2)
+    assert out0[..., 0].max() > 100.0  # without border_px the poison leaks
+
+    out = np.asarray(
+        grid_downsample_uv(jnp.asarray(u), jnp.asarray(v), g, g, border_px=4)
+    )
+    np.testing.assert_allclose(out[..., 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(out[..., 1], 2.0, atol=1e-6)
+
+    # norm_wh folds the unit conversion into the same tiny output.
+    outn = np.asarray(
+        grid_downsample_uv(
+            jnp.asarray(u), jnp.asarray(v), g, g, norm_wh=(w, h), border_px=4
+        )
+    )
+    np.testing.assert_allclose(outn[..., 0], 1.0 / w, atol=1e-7)
+    np.testing.assert_allclose(outn[..., 1], 2.0 / h, atol=1e-7)
