@@ -146,13 +146,7 @@ def quat_to_m4(q):
 
 def main(outdir=None):
     from ofps_tpu.core.camera import StandardCamera
-    from ofps_tpu.core.motion import (
-        field_to_sparse,
-        grid_downsample_uv,
-    )
     from ofps_tpu.estimators.base import create_estimator
-    from ofps_tpu.ops.flow_lk import LKParams, dense_flow_lk
-    from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow_warm
     from ofps_tpu.apps import gt as gtmod
     from synthetic import synthetic_field
 
@@ -165,29 +159,48 @@ def main(outdir=None):
     schedules = make_schedules()
 
     # --- flow sources -----------------------------------------------------
-    # The block source carries the warm start across the clip exactly like
-    # the cv-decoder (OPTFLOW_USE_INITIAL_FLOW, lib.rs:162-166): a zero warm
-    # is identical to a cold start, so frame 0 matches the reference too.
-    from ofps_tpu.ops.flow_pyramid import border_margin_px
+    # Every non-GT source decodes the SAME MPEG-4 clip per clip index,
+    # matching the reference's matrix structure (report.tex:919-925: one set
+    # of Blender clips read by three decoder plugins).  block/rlof run the
+    # PRODUCTION CvDecoder end to end — warm-started flow + Sobel contrast
+    # mask + masked grid densify (lib.rs:156-291 parity), not a raw
+    # dense-flow call; av extracts the clip's real codec motion vectors.
+    import tempfile
 
-    @jax.jit
-    def block_flow_grid(f0, f1, warm):
-        params = FlowParams(levels=4)
-        (u, v), warm2 = dense_flow_warm(f0, f1, params, warm=warm)
-        return (
-            grid_downsample_uv(
-                u, v, GRID, GRID, norm_wh=(W, H),
-                border_px=border_margin_px(params, H, W),
-            ),
-            warm2,
-        )
+    _tmpdir = tempfile.mkdtemp(prefix="ofps_eval_")
+    _clip_cache = {}
 
-    @jax.jit
-    def lk_flow_grid(f0, f1):
-        f = dense_flow_lk(f0, f1, LKParams(levels=4))
-        return grid_downsample_uv(
-            f[..., 0], f[..., 1], GRID, GRID, norm_wh=(W, H)
-        )
+    def encoded_clip(clip_idx):
+        if clip_idx not in _clip_cache:
+            from ofps_tpu.decoders.av import encode_gray_video
+
+            frames, _ = render_clip(cam, schedules[clip_idx],
+                                    seed=100 + clip_idx)
+            arr = np.clip(
+                np.stack([np.asarray(f) for f in frames]), 0.0, 255.0
+            ).astype(np.uint8)
+            path = os.path.join(_tmpdir, f"clip{clip_idx}.avi")
+            encode_gray_video(path, arr, gop=T + 2)
+            _clip_cache[clip_idx] = path
+        return _clip_cache[clip_idx]
+
+    def decoder_fields(decoder):
+        """Drain a decoder into T per-frame SparseFlows (None = no MVs)."""
+        from ofps_tpu.core.motion import SparseFlow
+
+        out = []
+        decoder.process_frame()  # frame 0: I-frame / flow warm-up, no MVs
+        for _ in range(T):
+            f = decoder.process_frame()
+            if f is not None and f.has_mvs and len(f.pos) >= 8:
+                out.append(
+                    SparseFlow.from_arrays(
+                        f.pos, f.motion, capacity=GRID * GRID
+                    )
+                )
+            else:
+                out.append(None)
+        return out
 
     def source_fields(name, clip_idx):
         """Per-frame SparseFlow list for one clip through one source."""
@@ -199,52 +212,20 @@ def main(outdir=None):
                 synthetic_field(cam, euler_deg(*d), capacity=GRID * GRID)
                 for d in deltas
             ]
-        frames, _ = render_clip(cam, deltas, seed=100 + clip_idx)
-        out = []
         if name == "av":
-            # REAL codec motion vectors (the reference's primary source,
-            # av-decoder/src/lib.rs): encode the rendered frames to MPEG-4
-            # via the native encoder, decode with +export_mvs.  I-frames
-            # carry no MVs -> None (pose holds, like the reference worker).
-            import tempfile
-
-            from ofps_tpu.core.motion import SparseFlow
-            from ofps_tpu.decoders.av import encode_gray_video
             from ofps_tpu.decoders.base import create_decoder
 
-            arr = np.stack([np.asarray(f) for f in frames])
-            arr = np.clip(arr, 0.0, 255.0).astype(np.uint8)
-            with tempfile.TemporaryDirectory() as td:
-                path = os.path.join(td, "clip.avi")
-                encode_gray_video(path, arr, gop=T + 2)
-                d = create_decoder(path)
-                d.process_frame()  # I-frame
-                for t in range(T):
-                    f = d.process_frame()
-                    if f is not None and f.has_mvs and len(f.pos) >= 8:
-                        out.append(
-                            SparseFlow.from_arrays(
-                                f.pos, f.motion, capacity=GRID * GRID
-                            )
-                        )
-                    else:
-                        out.append(None)
-            return out
-        if name == "block":
-            wh, ww = (H + 1) // 2, (W + 1) // 2
-            warm = (
-                jnp.zeros((wh, ww), jnp.float32),
-                jnp.zeros((wh, ww), jnp.float32),
+            return decoder_fields(create_decoder(encoded_clip(clip_idx)))
+        from ofps_tpu.decoders.cv import CvDecoder
+
+        return decoder_fields(
+            CvDecoder(
+                encoded_clip(clip_idx),
+                grid_max_dim=GRID,
+                levels=4,
+                use_rlof=(name == "rlof"),
             )
-            for t in range(T):
-                grid, warm = block_flow_grid(frames[t], frames[t + 1], warm)
-                warm = tuple(x.astype(jnp.float32) for x in warm)
-                out.append(field_to_sparse(grid))
-        else:
-            for t in range(T):
-                grid = lk_flow_grid(frames[t], frames[t + 1])
-                out.append(field_to_sparse(grid))
-        return out
+        )
 
     results = {}  # (source, clip, est) -> (avg_err_deg, ms_per_frame)
     sources = ["gt-mv", "av", "block", "rlof"]

@@ -4,21 +4,24 @@ The reference publishes per-(source, estimator) average rotation errors over
 8 Blender clips (docs/report.tex:919-1186, BASELINE.md).  Nothing gated
 those numbers here until round 3 — regressions in flow quality or estimator
 accuracy were invisible to CI.  This runs two clips (the hardest,
-always-moving clip 0 and an easy clip 5) through the gt-mv and block-flow
-sources and asserts per-config error ceilings calibrated on THIS (CPU-mesh)
-platform with ~1.7x headroom (argmin ties and RANSAC draws wiggle the
-numbers a few percent).
+always-moving clip 0 and an easy clip 5), encoded to MPEG-4 exactly like
+the full matrix, through the av (codec MVs) and block (production
+CvDecoder: warm-started flow + Sobel mask + masked densify) sources plus
+exact gt-mv fields, and asserts per-config error ceilings calibrated on
+THIS (CPU-mesh) platform with ~1.7x headroom (argmin ties and RANSAC draws
+wiggle the numbers a few percent).
 
 Platform note: CI runs the XLA reference flow path (also the spatially-
 sharded multi-chip path); the single-chip TPU serving path runs the fused
 Pallas kernels.  Since the XLA path's border cost bias was fixed (edge-
 padded candidate windows, like the kernels) the two agree within ~15% on
-every config (clip-0 plain almeida: CPU 0.061 / TPU 0.053 deg).
-docs_stats/SUMMARY.md carries the TPU numbers.
+every config.  docs_stats/SUMMARY.md carries the TPU numbers.
 
-Reference comparison points (Farneback column, BASELINE.md): plain almeida
-0.0205 deg/frame, homography 0.0285 deg/frame.
+Reference comparison points (BASELINE.md): Farneback column plain almeida
+0.0205, homography 0.0285; MPEG column almeida 0.0237/0.0480 deg/frame.
 """
+
+import os
 
 import numpy as np
 import pytest
@@ -28,9 +31,8 @@ import jax
 import scripts.evaluate_matrix as em
 from ofps_tpu.apps import gt as gtmod
 from ofps_tpu.core.camera import StandardCamera
-from ofps_tpu.core.motion import field_to_sparse, grid_downsample_uv
+from ofps_tpu.core.motion import SparseFlow
 from ofps_tpu.estimators.base import create_estimator
-from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow_warm
 from synthetic import euler_deg, synthetic_field
 
 # (label, estimator, props) -> max avg deg/frame per (source, clip).
@@ -90,13 +92,9 @@ def _run_configs(camera, fields, truth_qs, only=None):
     return errs
 
 
-def _av_fields(camera, ci, tmp_path):
-    """Real codec MVs: rendered clip -> native MPEG-4 encode -> +export_mvs."""
-    import os
-
-    from ofps_tpu.core.motion import SparseFlow
+def _encoded_clip(camera, ci, tmp_path):
+    """Rendered eval clip -> MPEG-4 via the native encoder (matrix parity)."""
     from ofps_tpu.decoders.av import encode_gray_video
-    from ofps_tpu.decoders.base import create_decoder
 
     frames, _ = em.render_clip(camera, em.make_schedules()[ci], seed=100 + ci)
     arr = np.clip(
@@ -104,11 +102,16 @@ def _av_fields(camera, ci, tmp_path):
     ).astype(np.uint8)
     path = os.path.join(str(tmp_path), "clip.avi")
     encode_gray_video(path, arr, gop=em.T + 2)
-    d = create_decoder(path)
-    assert not d.process_frame().has_mvs  # I-frame
+    return path
+
+
+def _drain(decoder):
+    """First frame (no MVs) skipped, then T per-frame SparseFlows."""
+    first = decoder.process_frame()
+    assert first is not None and not first.has_mvs
     out = []
     for _ in range(em.T):
-        f = d.process_frame()
+        f = decoder.process_frame()
         assert f is not None and f.has_mvs
         out.append(
             SparseFlow.from_arrays(f.pos, f.motion, capacity=em.GRID * em.GRID)
@@ -116,34 +119,27 @@ def _av_fields(camera, ci, tmp_path):
     return out
 
 
-def _block_fields(camera, ci):
-    """Warm-carried block flow, exactly like the cv-decoder/eval harness."""
-    import jax.numpy as jnp
+def _av_fields(camera, ci, tmp_path):
+    """Real codec MVs: rendered clip -> native MPEG-4 encode -> +export_mvs."""
+    from ofps_tpu.decoders.base import create_decoder
 
-    frames, _ = em.render_clip(camera, em.make_schedules()[ci], seed=100 + ci)
+    return _drain(create_decoder(_encoded_clip(camera, ci, tmp_path)))
 
-    from ofps_tpu.ops.flow_pyramid import border_margin_px
 
-    @jax.jit
-    def grid_fn(a, b, warm):
-        params = FlowParams(levels=4)
-        (u, v), warm2 = dense_flow_warm(a, b, params, warm=warm)
-        return (
-            grid_downsample_uv(
-                u, v, em.GRID, em.GRID, norm_wh=(em.W, em.H),
-                border_px=border_margin_px(params, em.H, em.W),
-            ),
-            warm2,
+def _block_fields(camera, ci, tmp_path):
+    """The PRODUCTION cv decoder (warm-started block flow + Sobel contrast
+    mask + masked grid densify) over the encoded clip — the same path the
+    full matrix and the serving stack use."""
+    from ofps_tpu.decoders.cv import CvDecoder
+
+    return _drain(
+        CvDecoder(
+            _encoded_clip(camera, ci, tmp_path),
+            grid_max_dim=em.GRID,
+            levels=4,
+            use_rlof=False,
         )
-
-    wh, ww = (em.H + 1) // 2, (em.W + 1) // 2
-    warm = (jnp.zeros((wh, ww), jnp.float32),) * 2
-    out = []
-    for t in range(em.T):
-        grid, warm = grid_fn(frames[t], frames[t + 1], warm)
-        warm = tuple(x.astype(jnp.float32) for x in warm)
-        out.append(field_to_sparse(grid))
-    return out
+    )
 
 
 @pytest.mark.parametrize("source,ci", sorted(GATES))
@@ -158,7 +154,7 @@ def test_matrix_gate(camera, source, ci, tmp_path):
     elif source == "av":
         fields = _av_fields(camera, ci, tmp_path)
     else:
-        fields = _block_fields(camera, ci)
+        fields = _block_fields(camera, ci, tmp_path)
     gates = GATES[(source, ci)]
     errs = _run_configs(camera, fields, truth, only=set(gates))
     for label, ceiling in gates.items():
