@@ -18,6 +18,7 @@ behavior), and the sync point is a host ``device_get`` of a scalar.
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -136,6 +137,31 @@ def main() -> None:
     args = ap.parse_args()
 
     b, h, w = args.batch, args.height, args.width
+
+    # Fail FAST if the device backend is unreachable: the axon tunnel can
+    # hang in a way that blocks backend init forever (no exception), which
+    # would otherwise stall the whole bench run silently.  A tiny probe op
+    # on a watchdog thread converts that into a clean rc=1 with a message.
+    import threading
+
+    probe_ok = threading.Event()
+
+    def _probe():
+        jnp.ones((8, 8)).sum().block_until_ready()
+        probe_ok.set()
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(180.0)
+    if not probe_ok.is_set():
+        print(
+            "bench: device backend unreachable (probe op did not complete "
+            "in 180 s) — the TPU tunnel is down; no measurement taken",
+            file=sys.stderr,
+        )
+        sys.stderr.flush()
+        os._exit(1)  # plain exit could hang in jax atexit syncs
+
     params = FlowParams()
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
