@@ -147,7 +147,10 @@ def main() -> None:
     probe_ok = threading.Event()
 
     def _probe():
-        jnp.ones((8, 8)).sum().block_until_ready()
+        # device_get, NOT block_until_ready: the latter does not block
+        # through the tunnel transport (CLAUDE.md), so an execution-side
+        # hang would pass a block_until_ready probe.
+        float(jax.device_get(jnp.ones((8, 8)).sum()))
         probe_ok.set()
 
     th = threading.Thread(target=_probe, daemon=True)

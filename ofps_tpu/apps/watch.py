@@ -88,6 +88,7 @@ class WatchState:
         self.lock = threading.Lock()
         self.cond = threading.Condition(self.lock)
         self.jpeg: Optional[bytes] = None
+        self.jpeg_ctype = "image/jpeg"
         self.jpeg_seq = 0
         self.frame = -1
         self.detected: Optional[bool] = None
@@ -101,9 +102,9 @@ class WatchState:
 
     def push(self, frame_idx, overlay_rgba, detected, names, euler_deg):
         """Publish one processed frame (overlay may be None)."""
-        blob = None
+        blob = ctype = None
         if overlay_rgba is not None:
-            blob = _encode_jpeg(overlay_rgba)
+            blob, ctype = _encode_image(overlay_rgba)
         with self.cond:
             self.frame = frame_idx
             self.detected = detected
@@ -116,6 +117,7 @@ class WatchState:
                 del tr[: -self.trace_len]
             if blob is not None:
                 self.jpeg = blob
+                self.jpeg_ctype = ctype
                 self.jpeg_seq += 1
             self.cond.notify_all()
 
@@ -131,15 +133,18 @@ class WatchState:
                 "detected": self.detected,
                 "done": self.done,
                 "trace_scale_deg": self.trace_scale_deg,
+                # Copy the traces while holding the lock: the handler
+                # serializes AFTER release, racing push()'s append/trim on
+                # the same inner lists otherwise.
                 "estimators": [
-                    {"name": n, "euler_deg": e, "trace": t}
+                    {"name": n, "euler_deg": list(e), "trace": [list(v) for v in t]}
                     for n, e, t in zip(self.names, self.euler, self.trace)
                 ],
             }
 
 
-def _encode_jpeg(rgba: np.ndarray) -> bytes:
-    """RGBA float/uint8 -> JPEG bytes (cv2 when present, else PNG)."""
+def _encode_image(rgba: np.ndarray):
+    """RGBA float/uint8 -> (bytes, content_type): JPEG via cv2, else PNG."""
     img = np.asarray(rgba)
     if img.dtype != np.uint8:
         img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
@@ -149,17 +154,18 @@ def _encode_jpeg(rgba: np.ndarray) -> bytes:
         bgr = img[..., :3][..., ::-1]
         ok, buf = cv2.imencode(".jpg", bgr, [cv2.IMWRITE_JPEG_QUALITY, 85])
         if ok:
-            return buf.tobytes()
+            return buf.tobytes(), "image/jpeg"
     except ImportError:
         pass
-    # PNG fallback (browsers accept image/png parts in MJPEG streams).
+    # PNG fallback (browsers accept image/png parts in MJPEG streams, but
+    # each part must DECLARE its actual type).
     import io
 
     import matplotlib.image as mpimg
 
     bio = io.BytesIO()
     mpimg.imsave(bio, img, format="png")
-    return bio.getvalue()
+    return bio.getvalue(), "image/png"
 
 
 def make_server(state: WatchState, port: int = 8799) -> ThreadingHTTPServer:
@@ -199,12 +205,13 @@ def make_server(state: WatchState, port: int = 8799) -> ThreadingHTTPServer:
                         if state.jpeg_seq == last and state.done:
                             break
                         blob, last = state.jpeg, state.jpeg_seq
+                        ctype = state.jpeg_ctype
                     if blob is None:
                         continue
                     try:
                         self.wfile.write(
-                            b"--ofpsframe\r\nContent-Type: image/jpeg\r\n"
-                            + f"Content-Length: {len(blob)}\r\n\r\n".encode()
+                            f"--ofpsframe\r\nContent-Type: {ctype}\r\n"
+                            f"Content-Length: {len(blob)}\r\n\r\n".encode()
                         )
                         self.wfile.write(blob)
                         self.wfile.write(b"\r\n")

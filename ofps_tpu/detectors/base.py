@@ -33,6 +33,13 @@ class DetectorInstance:
     params: Any
     # (flow: SparseFlow, props=None) -> DetectionResult
     detect: Callable[..., DetectionResult]
+
+    def __post_init__(self):
+        # Externally-registered detectors may predate the optional props=
+        # kwarg; adapt instead of TypeError-ing (core.plugins contract).
+        from ofps_tpu.core.plugins import adapt_optional_kwargs
+
+        self.detect = adapt_optional_kwargs(self.detect, ("props",))
     # () -> dict of *dynamic* property scalars (continuous-valued params the
     # reference pushes into a RUNNING plugin every frame,
     # app/utils/properties.rs:5-18).  These are jnp scalars traced through

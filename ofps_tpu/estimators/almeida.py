@@ -41,7 +41,7 @@ from ofps_tpu.ops.geometry_uv import (
     qmul,
     solve3_planes,
 )
-from ofps_tpu.ops.robust import uniform_cap_weights
+from ofps_tpu.ops.robust import sample_indices, uniform_cap_weights
 
 # lib.rs:17-18
 EPS = 0.001 * math.pi / 180.0
@@ -158,26 +158,8 @@ def solve_ypr_weighted(
     return jnp.stack(q, axis=-1)
 
 
-def _sample_indices(key, mask: jnp.ndarray, shape_rows: int, k: int):
-    """(rows, k) random valid indices: one stable partition of the valid
-    set (raster order preserved) + uniform integer draws.
-
-    Replaces per-row Gumbel top-k — a (rows, N) sort whose cost dominated
-    the RANSAC fit stage.  Draws are independent, so a row can repeat an
-    index (probability ~k^2/2m); a repeated point makes that hypothesis
-    degenerate and it simply loses the inlier vote, exactly like the
-    reference's degenerate-sample fits.
-    """
-    n = mask.shape[0]
-    order = jnp.argsort(mask < 0.5, stable=True)  # valid entries first
-    m = jnp.maximum(jnp.sum(mask > 0.5).astype(jnp.int32), 1)
-    u = jax.random.uniform(key, (shape_rows, k))
-    r = jnp.minimum((u * m).astype(jnp.int32), m - 1)
-    return order[r]  # (shape_rows, k)
-
-
-# uniform_cap_weights moved to ops.robust (shared with the epipolar
-# estimators' eval_cap); re-exported here for backwards compatibility.
+# Sampling and eval-cap helpers live in ops.robust (shared with the
+# epipolar estimators); re-exported here for backwards compatibility.
 
 
 def solve_ypr_ransac(
@@ -204,7 +186,7 @@ def solve_ypr_ransac(
     k_fit, _ = jax.random.split(key)
 
     # Minimal 3-point fits as (3, H) planes: H rides the lane axis.
-    fit_idx = _sample_indices(k_fit, mask, num_iters, 3)  # (H, 3)
+    fit_idx = sample_indices(k_fit, mask, num_iters, 3)  # (H, 3)
     fpx = pos[fit_idx, 0].T  # (3, H)
     fpy = pos[fit_idx, 1].T
     fmu = motion[fit_idx, 0].T

@@ -48,6 +48,15 @@ class EstimatorInstance:
         default_factory=lambda: (lambda: {})
     )
 
+    def __post_init__(self):
+        # Externally-registered estimators may predate the optional
+        # move_magnitude=/props= kwargs; adapt instead of TypeError-ing.
+        from ofps_tpu.core.plugins import adapt_optional_kwargs
+
+        self.estimate = adapt_optional_kwargs(
+            self.estimate, ("move_magnitude", "props")
+        )
+
     def motion_step(
         self, state, flow: SparseFlow, camera, key, rot, pos,
         move_magnitude=None, props=None,

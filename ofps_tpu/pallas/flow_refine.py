@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ofps_tpu.ops.flow_pyramid import _TIE_EPS
+
 RES = 7  # max per-pixel warp residual from the block-mean flow (pixels)
 _PAD = RES + 1
 _COL_PAD = 128  # left/right padding; absorbs block-mean column offsets
@@ -349,9 +351,9 @@ def _refine_kernel(
         cost = _tree_box(acc, 2 * r + 1, 1, bw)
         # Back to f32 before the penalty adds: Mosaic cannot relayout
         # masks between 16-bit (bf16 compare) and 32-bit operand widths.
-        # The displacement prior (ops.flow_pyramid._TIE_EPS, box-SUM scale)
-        # resolves edge-replication cost plateaus toward the smaller shift.
-        tie = 1e-3 * (2 * r + 1) ** 2 * (abs(dx) + abs(dy))
+        # The displacement prior (box-SUM scale) resolves edge-replication
+        # cost plateaus toward the smaller shift.
+        tie = _TIE_EPS * (2 * r + 1) ** 2 * (abs(dx) + abs(dy))
         cost = cost.astype(jnp.float32) + (row_pen[dy] + col_pen[dx] + tie)
         costs.append(cost)
 

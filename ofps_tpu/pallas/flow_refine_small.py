@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ofps_tpu.ops.flow_pyramid import _TIE_EPS
+
 RES_SMALL = 7  # max |warp residual| handled exactly (pixels)
 _BIG = 1e10
 
@@ -126,10 +128,10 @@ def _small_kernel(
             diff = jnp.abs(i1e - wsh)
             acc = tree_box(diff, 2 * r + 1, 0, hp)
             cost = tree_box(acc, 2 * r + 1, 1, wp)
-            # Displacement prior (see ops.flow_pyramid._TIE_EPS): resolves
-            # the exact cost plateaus of edge-replicated borders toward the
+            # Displacement prior (ops.flow_pyramid._TIE_EPS): resolves the
+            # exact cost plateaus of edge-replicated borders toward the
             # smaller shift.  Box-SUM scale -> x win^2.
-            tie = 1e-3 * (2 * r + 1) ** 2 * (abs(dx) + abs(dy))
+            tie = _TIE_EPS * (2 * r + 1) ** 2 * (abs(dx) + abs(dy))
             clist.append(cost + row_pen[dy] + col_pen[dx] + pad_pen + tie)
         rmin = clist[0]
         rbx = jnp.full((hp, wp), -s, jnp.int32)

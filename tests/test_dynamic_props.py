@@ -86,3 +86,46 @@ def test_bounds_clamp_applies(live):
     got = float(live.props["detector"]["target_motion"])
     assert got == pytest.approx(0.1)
     live.set_property("detector", "target_motion", 0.003)
+
+
+def test_legacy_plugin_signature_adapts():
+    """Externally-registered plugins written against the pre-props API must
+    keep working: the bases adapt the optional kwargs instead of TypeError-
+    ing, and raise loudly only if a real property push would be dropped."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from ofps_tpu.core import quat
+    from ofps_tpu.core.camera import StandardCamera
+    from ofps_tpu.core.motion import SparseFlow
+    from ofps_tpu.detectors.base import DetectionResult, DetectorInstance
+    from ofps_tpu.estimators.base import EstimatorInstance
+
+    def legacy_estimate(state, flow, camera, key):  # old 4-arg contract
+        return quat.identity(), jnp.zeros(3), state
+
+    est = EstimatorInstance(
+        name="legacy", params=None, init=lambda: (), estimate=legacy_estimate
+    )
+    cam = StandardCamera.create(1.0, 90.0)
+    fl = SparseFlow.from_arrays([[0.5, 0.5]], [[0.0, 0.0]], capacity=8)
+    rot, pos, _ = est.motion_step(
+        (), fl, cam, jax.random.PRNGKey(0), quat.identity(), jnp.zeros(3)
+    )
+    assert rot.shape == (4,)
+    # A real (non-empty) props push cannot be silently dropped.
+    with pytest.raises(TypeError):
+        est.estimate((), fl, cam, jax.random.PRNGKey(0),
+                     props={"x": jnp.float32(1)})
+
+    def legacy_detect(flow):  # old 1-arg contract
+        z = jnp.zeros((2, 2))
+        return DetectionResult(
+            detected=jnp.bool_(False), area=jnp.int32(0),
+            field=jnp.zeros((2, 2, 2)), mask=z.astype(bool),
+        )
+
+    det = DetectorInstance(name="legacy", params=None, detect=legacy_detect)
+    out = det.detect(fl, props=None)  # None/empty props are fine
+    assert not bool(out.detected)
