@@ -39,6 +39,9 @@ class LKParams(NamedTuple):
     sigma: float = 12.0
     max_step: float = 1.0  # per-iteration displacement clamp (px)
     eps: float = 1e-4  # structure-tensor regularizer
+    # Warm-start guard: race the coarsest level's warm init against a zero
+    # init and keep the per-pixel SAD winner (see dense_flow_lk).
+    guarded_warm: bool = True
 
 
 def _gradients(img: jnp.ndarray):
@@ -117,6 +120,30 @@ def dense_flow_lk(
         elif u.shape[-2] != h or u.shape[-1] != w:
             u = resize_bilinear_matmul(u, h, w) * 2.0
             v = resize_bilinear_matmul(v, h, w) * 2.0
-        u, v = _lk_level(a, b, u, v, params, allow_pallas)
+        if lvl == levels - 1 and init_flow is not None and params.guarded_warm:
+            # Warm-start guard (same rationale as the block matcher's
+            # _coarse_guard): LK is a LOCAL linearization, so a warm init
+            # wrong by more than the aggregation window converges to the
+            # wrong minimum and the error feeds back frame over frame
+            # (measured on the eval clips: warm-carried plain-almeida error
+            # 0.155 deg vs 0.013 cold on the always-moving clip).  Solve the
+            # coarsest level from BOTH inits and keep the per-pixel winner
+            # by aggregated warp residual, so the cold solution always
+            # competes and the feedback loop cannot lock in.
+            u_w, v_w = _lk_level(a, b, u, v, params, allow_pallas)
+            u_0, v_0 = _lk_level(
+                a, b, jnp.zeros_like(u), jnp.zeros_like(v), params,
+                allow_pallas,
+            )
+
+            def sad(uu, vv):
+                warped = _warp(b, jnp.stack([uu, vv], axis=-1), allow_pallas)
+                return box_filter(jnp.abs(a - warped), params.win)
+
+            better = sad(u_w, v_w) <= sad(u_0, v_0)
+            u = jnp.where(better, u_w, u_0)
+            v = jnp.where(better, v_w, v_0)
+        else:
+            u, v = _lk_level(a, b, u, v, params, allow_pallas)
 
     return jnp.stack([u, v], axis=-1)

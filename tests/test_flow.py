@@ -259,3 +259,24 @@ def test_dense_flow_border_replicated():
     np.testing.assert_array_equal(f[-m:], np.broadcast_to(f[-m - 1], (m,) + f[-m - 1].shape))
     np.testing.assert_array_equal(f[:, :m], np.broadcast_to(f[:, m : m + 1], f[:, :m].shape))
     np.testing.assert_array_equal(f[:, -m:], np.broadcast_to(f[:, -m - 1 : -m], f[:, -m:].shape))
+
+
+def test_lk_guarded_warm_rejects_runaway_init():
+    """LK mirror of the block matcher's warm guard: a garbage warm start on
+    a static scene must not survive (LK's local linearization otherwise
+    converges to the wrong minimum and feeds back frame over frame)."""
+    from ofps_tpu.ops.flow_lk import LKParams, dense_flow_lk
+
+    h, w = 120, 160
+    i1 = jnp.asarray(_texture(h, w, seed=13) * 200)
+    bad = jnp.broadcast_to(jnp.asarray([8.0, -6.0]), (h, w, 2))
+    f = np.asarray(dense_flow_lk(i1, i1, LKParams(levels=3), init_flow=bad))
+    epe = np.linalg.norm(f[16:-16, 16:-16], axis=-1).mean()
+    assert epe < 0.3, epe
+    f2 = np.asarray(
+        dense_flow_lk(
+            i1, i1, LKParams(levels=3, guarded_warm=False), init_flow=bad
+        )
+    )
+    epe2 = np.linalg.norm(f2[16:-16, 16:-16], axis=-1).mean()
+    assert epe2 >= epe
