@@ -50,6 +50,10 @@ GATES = {
                 "homography-ransac": 0.09},
     ("av", 5): {"almeida": 0.010, "almeida-ransac": 0.015,
                 "homography-ransac": 0.09},
+    # Robust dense-LK (rlof slot) through the production decoder; the warm
+    # guard is what holds clip 0 (unguarded it reads 0.125).
+    ("rlof", 0): {"almeida": 0.025, "almeida-ransac": 0.021},
+    ("rlof", 5): {"almeida": 0.008, "almeida-ransac": 0.013},
 }
 
 CONFIGS = [
@@ -126,10 +130,10 @@ def _av_fields(camera, ci, tmp_path):
     return _drain(create_decoder(_encoded_clip(camera, ci, tmp_path)))
 
 
-def _block_fields(camera, ci, tmp_path):
-    """The PRODUCTION cv decoder (warm-started block flow + Sobel contrast
-    mask + masked grid densify) over the encoded clip — the same path the
-    full matrix and the serving stack use."""
+def _cv_fields(camera, ci, tmp_path, use_rlof):
+    """The PRODUCTION cv decoder (warm-started flow + Sobel contrast mask +
+    masked grid densify) over the encoded clip — the same path the full
+    matrix and the serving stack use."""
     from ofps_tpu.decoders.cv import CvDecoder
 
     return _drain(
@@ -137,7 +141,7 @@ def _block_fields(camera, ci, tmp_path):
             _encoded_clip(camera, ci, tmp_path),
             grid_max_dim=em.GRID,
             levels=4,
-            use_rlof=False,
+            use_rlof=use_rlof,
         )
     )
 
@@ -154,7 +158,7 @@ def test_matrix_gate(camera, source, ci, tmp_path):
     elif source == "av":
         fields = _av_fields(camera, ci, tmp_path)
     else:
-        fields = _block_fields(camera, ci, tmp_path)
+        fields = _cv_fields(camera, ci, tmp_path, use_rlof=(source == "rlof"))
     gates = GATES[(source, ci)]
     errs = _run_configs(camera, fields, truth, only=set(gates))
     for label, ceiling in gates.items():
