@@ -43,6 +43,9 @@ class HomographyParams(NamedTuple):
     num_hypotheses: int = 512
     outlier_proba: float = 0.5
     eval_cap: int = 2048
+    # LMedS-sigma floor on the RANSAC cut for noisy (codec-MV) fields; see
+    # ops.robust.robust_fit.  No-op when the data noise fits under max_error.
+    adaptive_threshold: bool = True
 
 
 def estimate_homography_rotation(
@@ -75,6 +78,8 @@ def estimate_homography_rotation(
         threshold=max_error,
         use_lmeds=not params.use_ransac,
         eval_cap=params.eval_cap,
+        adaptive_threshold=params.adaptive_threshold,
+        refit_fn=dlt_homography,
     )
     # Weighted refit on the winning inlier set + Gauss-Newton polish on the
     # transfer error (OpenCV refines with LM here).

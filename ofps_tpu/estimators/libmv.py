@@ -51,6 +51,10 @@ class LibmvParams(NamedTuple):
     num_hypotheses: int = 512
     desired_confidence: float = 0.999
     eval_cap: int = 2048
+    # LMedS-sigma floor on the RANSAC cut (see ops.robust.robust_fit):
+    # max_error=1e-4 screen units assumes pixel-accurate points; codec MVs
+    # sit ~an order above that, where fixed-cut consensus counting breaks.
+    adaptive_threshold: bool = True
 
 
 class PrevMotion(NamedTuple):
@@ -76,7 +80,19 @@ class PrevMotion(NamedTuple):
 
 
 def rasterize_prev(pos: jnp.ndarray, motion: jnp.ndarray, w: jnp.ndarray):
-    """Scatter entries into the endpoint-keyed grid (PrevMotion::set_mv)."""
+    """Scatter entries into the endpoint-keyed grid (PrevMotion::set_mv).
+
+    DIVERGENCE DECISION (kept, round 4): when several entries land in one
+    cell, the reference's BTreeMap keeps the entry whose noisy-float KEY
+    sorts last among equal cells (lib.rs:75-83 insert overwrites), i.e. an
+    arbitrary-but-deterministic pick; this scatter keeps the LAST entry in
+    raster order — a different arbitrary-but-deterministic pick of the same
+    class.  Both feed ``find_nearest``'s +-0.05 box query, whose L1-nearest
+    winner is insensitive to which same-cell entry survived (cell size
+    0.025 << box 0.05); the oracle scale-chain parity test
+    (tests/test_oracle_estimators.py::test_libmv_oracle_scale_chain_parity)
+    passes against the reference port either way.
+    """
     ep = pos + motion
     cx = jnp.clip((ep[..., 0] * GRID).astype(jnp.int32), 0, GRID - 1)
     cy = jnp.clip((ep[..., 1] * GRID).astype(jnp.int32), 0, GRID - 1)
@@ -185,6 +201,11 @@ def _robust_fundamental(key, params: LibmvParams, x1, x2, w, max_error=None):
         threshold=max_error,
         use_lmeds=False,
         eval_cap=params.eval_cap,
+        adaptive_threshold=params.adaptive_threshold,
+        # LO refit: libmv's robust 7-point keeps the raw minimal-sample F
+        # (libmv-c.cpp:9-38); a least-squares refit over the consensus set
+        # strictly improves it, so the TPU build adds one.
+        refit_fn=eight_point_fundamental,
     )
 
 

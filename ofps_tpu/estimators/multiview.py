@@ -56,6 +56,11 @@ class MultiviewParams(NamedTuple):
     # Rotation-only (Kabsch) fallback for the epipolar-degenerate
     # near-pure-rotation regime; see estimate_essential_rotation.
     rotation_fallback: bool = True
+    # Raise the RANSAC cut to the data's LMedS-sigma noise floor when the
+    # configured max_error sits below it (codec MVs are quarter-pel on
+    # macroblocks — far noisier than the pixel-accurate points OpenCV's
+    # default assumes).  No-op on data whose noise fits under max_error.
+    adaptive_threshold: bool = True
 
 
 def _normalized_coords(camera: StandardCamera, p: jnp.ndarray) -> jnp.ndarray:
@@ -111,6 +116,10 @@ def estimate_essential_rotation(
         threshold=thr,
         use_lmeds=not params.use_ransac,
         eval_cap=params.eval_cap,
+        adaptive_threshold=params.adaptive_threshold,
+        refit_fn=lambda a, b, ww: project_to_essential(
+            eight_point_fundamental(a, b, ww)
+        ),
     )
     # Refit on inliers, then recover pose with a parallel cheirality vote.
     e = project_to_essential(eight_point_fundamental(x1, x2, res.inliers))

@@ -72,10 +72,19 @@ def sample_indices(key, w: jnp.ndarray, rows: int, k: int) -> jnp.ndarray:
     + uniform integer draws.
 
     Replaces per-row Gumbel top-k — a (rows, N) sort that dominated the
-    hypothesis-generation stage on TPU.  Independent draws may repeat an
-    index within a row (~k^2/2m); a repeated point yields a degenerate
+    hypothesis-generation stage on TPU.
+
+    DIVERGENCE DECISION (kept, round 4): unlike the reference's
+    without-replacement draws (rand::seq sampling inside OpenCV/libmv's
+    RANSAC), independent draws may repeat an index within a row (prob
+    ~k^2/2m, <2% at k=8, m=2000).  A repeated point yields a degenerate
     minimal fit, which loses the score vote exactly like the reference's
-    degenerate samples do.
+    degenerate (collinear) samples do — the only cost is a slightly larger
+    effective hypothesis budget, priced into ``ransac_budget``'s ceiling.
+    The fixed-shape without-replacement alternatives are strictly worse on
+    TPU: per-row top-k over (rows, N) is the sort this replaced, and
+    strided/cyclic picks correlate sample points spatially (near-collinear
+    minimal sets).
     """
     m = jnp.maximum(jnp.sum(w > 0.5).astype(jnp.int32), 1)
     order = jnp.argsort(w < 0.5, stable=True)  # valid entries first
@@ -109,13 +118,33 @@ def robust_fit(
     threshold: float,
     use_lmeds: bool = False,
     eval_cap: int = 0,
+    adaptive_threshold: bool = False,
+    refit_fn: Callable | None = None,
+    lo_iters: int = 2,
 ) -> RobustResult:
     """``eval_cap > 0`` scores hypotheses on a spatially uniform subset of
     at most that many valid points (gathered once — H x cap work instead of
     H x N), then recomputes the winner's inlier set over ALL points.  The
     reference bounds its CPU cost the same way with random 1000-point
     subsets (almeida lib.rs:226-232); a deterministic uniform subset is
-    unbiased and gather-free per hypothesis."""
+    unbiased and gather-free per hypothesis.
+
+    ``adaptive_threshold`` (RANSAC mode): raise the scoring/inlier cut to the
+    LMedS robust-sigma cut (OpenCV's 2.5-sigma rule on the best hypothesis's
+    median error) whenever that exceeds ``threshold``.  The configured
+    threshold assumes pixel-accurate correspondences (the reference's OpenCV
+    defaults); codec motion vectors are quarter-pel on 16-px macroblocks, so
+    their noise floor sits well above it and consensus counting degenerates
+    into coin flips among garbage models.  On data whose noise is below the
+    configured threshold the sigma cut is smaller and NOTHING changes — the
+    reference behavior is preserved exactly where it worked.
+
+    ``refit_fn(x1, x2, w) -> model``: optional least-squares refit over a
+    weighted point set; when given, the winner is locally optimized
+    (LO-RANSAC): ``lo_iters`` rounds of refit-on-inliers -> re-cut, keeping
+    each refit only if it does not shrink the inlier set.  The final refit
+    model (not just the minimal-sample model) is returned.
+    """
     n = x1.shape[0]
     idx = sample_indices(key, w, num_hypotheses, sample_size)  # (H, k)
 
@@ -139,31 +168,62 @@ def robust_fit(
     errs = error_fn(models, x1e, x2e)  # (HM, S)
     # ``threshold`` may be a traced scalar (runtime-mutable max_error).
     thr2 = jnp.square(jnp.asarray(threshold, jnp.float32))
+    nvalid = jnp.maximum(jnp.sum(we), sample_size + 1.0)
+    sigma_k = 2.5 * 1.4826 * (1.0 + 5.0 / (nvalid - sample_size))
 
     if use_lmeds:
         med = _masked_median(errs, we)  # (HM,)
         score = -jnp.where(valid, med, jnp.float32(1e30))
         best = jnp.argmax(score)
         # OpenCV LMedS inlier cut: 2.5 * robust sigma from the median.
-        nvalid = jnp.maximum(jnp.sum(we), sample_size + 1.0)
-        sigma = 2.5 * 1.4826 * (1.0 + 5.0 / (nvalid - sample_size)) * jnp.sqrt(
-            jnp.maximum(-score[best], 0.0)
-        )
+        sigma = sigma_k * jnp.sqrt(jnp.maximum(-score[best], 0.0))
         cut = jnp.maximum(sigma * sigma, thr2)
         best_err = error_fn(models[best][None], x1, x2)[0]  # (N,)
         inliers = (best_err <= cut) & (w > 0.5)
         final_score = score[best]
     else:
+        if adaptive_threshold:
+            # Noise floor from the data itself: the minimum (over valid
+            # hypotheses) median error is the LMedS statistic; its 2.5-sigma
+            # cut bounds the inlier band an accurate model needs.
+            med = _masked_median(errs, we)  # (HM,)
+            med_best = jnp.min(
+                jnp.where(valid, med, jnp.float32(1e30))
+            )
+            cut_lmeds = jnp.square(sigma_k) * jnp.maximum(med_best, 0.0)
+            thr2 = jnp.maximum(thr2, cut_lmeds)
         ok = (errs <= thr2) & (we > 0.5)[None, :]
         counts = jnp.sum(ok, axis=-1)
         score = jnp.where(valid, counts, -1)
         best = jnp.argmax(score)
+        cut = thr2
         best_err = error_fn(models[best][None], x1, x2)[0]  # (N,)
         inliers = (best_err <= thr2) & (w > 0.5)
         final_score = jnp.sum(inliers)
 
+    model = models[best]
+    if refit_fn is not None:
+        # LO-RANSAC: a least-squares refit over all inliers escapes the
+        # minimal-sample noise (the reference's OpenCV RANSAC ends with the
+        # same refit inside findHomography/findEssentialMat; libmv's 7-point
+        # path lacks it — one source of its av-column error).
+        inl = inliers.astype(jnp.float32)
+        for _ in range(max(1, lo_iters)):
+            m2 = refit_fn(x1, x2, inl)
+            err2 = error_fn(m2[None], x1, x2)[0]
+            inl2 = ((err2 <= cut) & (w > 0.5)).astype(jnp.float32)
+            good = (jnp.sum(inl2) >= jnp.sum(inl)) & jnp.all(
+                jnp.isfinite(m2)
+            )
+            model = jnp.where(good, m2, model)
+            inl = jnp.where(good, inl2, inl)
+        inliers = inl > 0.5
+        final_score = jnp.where(
+            use_lmeds, final_score, jnp.sum(inliers)
+        )
+
     return RobustResult(
-        model=models[best],
+        model=model,
         inliers=inliers.astype(jnp.float32),
         score=final_score.astype(jnp.float32),
     )

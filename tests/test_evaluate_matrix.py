@@ -45,9 +45,14 @@ GATES = {
                    "homography-ransac": 0.03, "multiview-lmeds": 0.028},
     # Real codec MVs through the native MPEG-4 encoder+decoder (the
     # reference's primary source; its av column reads 0.0237/0.0480 on the
-    # representative clips — we gate at ~2-8x better).
+    # representative clips — we gate at ~2-8x better).  The epipolar cells
+    # gate the round-4 adaptive RANSAC threshold + LO refit (without them
+    # quarter-pel codec noise broke consensus counting: multiview-ransac
+    # read 0.1932 avg vs the reference's ~0.104; now 0.0305 — measured
+    # clip0 0.0153/0.0157, gated with ~2x headroom).
     ("av", 0): {"almeida": 0.012, "almeida-ransac": 0.018,
-                "homography-ransac": 0.09},
+                "homography-ransac": 0.09, "multiview-ransac": 0.035,
+                "libmv-7pt": 0.035},
     ("av", 5): {"almeida": 0.010, "almeida-ransac": 0.015,
                 "homography-ransac": 0.09},
     # Robust dense-LK (rlof slot) through the production decoder; the warm
@@ -60,7 +65,9 @@ CONFIGS = [
     ("almeida", "almeida", {"use_ransac": False}),
     ("almeida-ransac", "almeida", {}),
     ("homography-ransac", "homography", {}),
+    ("multiview-ransac", "multiview", {}),
     ("multiview-lmeds", "multiview", {"use_ransac": False}),
+    ("libmv-7pt", "libmv", {"algo_points": 7}),
 ]
 
 
