@@ -224,7 +224,9 @@ def _level_refine(i1, warped, search: int, win: int, cost_dtype=jnp.bfloat16):
         return jnp.where(oob, _BIG, c + tie)
 
     best_c = cand_cost(0)
-    best_s = jnp.zeros(best_c.shape, jnp.int32)
+    # Derive from best_c (not a fresh constant) so the carry keeps best_c's
+    # varying manual axes under shard_map (scan-vma typing rule).
+    best_s = (best_c * 0).astype(jnp.int32)
 
     def pass_a(s, carry):
         bc, bs = carry
@@ -364,9 +366,13 @@ def _dense_flow_impl(
                 v = jnp.zeros(shp, jnp.float32)
             coarse = u.shape[-2] != h or u.shape[-1] != w
             out_dtype = jnp.bfloat16 if lvl > 0 else params.flow_dtype
+            # Inter-level median (FlowParams.median_levels): fused into the
+            # small-kernel launch; a standalone XLA pass only after the big
+            # blocked kernel (lvl 2 at 1080p).
+            want_med = params.median_levels and lvl >= 2
 
             def refine_one(ui, vi, _a=a, _b=b, _s=search, _f=fused, _c=coarse,
-                           _h=h, _w=w, _dt=out_dtype):
+                           _h=h, _w=w, _dt=out_dtype, _med=want_med):
                 if _f:
                     # Coarse flow feeds the kernel directly: the 2x upsample
                     # happens in VMEM (no standalone upsample pass).
@@ -385,16 +391,37 @@ def _dense_flow_impl(
 
                 return flow_refine_small_uv(
                     _a, _b, ui.astype(jnp.float32), vi.astype(jnp.float32),
-                    _s, params.win,
+                    _s, params.win, median_out=_med,
                 )
 
             if lvl == levels - 1 and init_uv is not None and params.guarded_warm:
-                u_w, v_w = refine_one(u, v)
-                u_0, v_0 = refine_one(jnp.zeros_like(u), jnp.zeros_like(v))
-                u, v = _coarse_guard(a, b, u_w, v_w, u_0, v_0)
+                if not fused and not coarse:
+                    # Small-kernel coarsest level: the guard is FUSED into
+                    # the launch (zero-init sweep + per-pixel SAD winner in
+                    # VMEM) — the two-solve + warp + box-filter formulation
+                    # below cost ~18% of the whole 1080p flow budget.
+                    from ofps_tpu.pallas.flow_refine_small import (
+                        flow_refine_small_uv,
+                    )
+
+                    u, v = flow_refine_small_uv(
+                        a, b, u.astype(jnp.float32), v.astype(jnp.float32),
+                        search, params.win, guard_zero_init=True,
+                        median_out=want_med,
+                    )
+                else:
+                    u_w, v_w = refine_one(u, v, _med=False)
+                    u_0, v_0 = refine_one(
+                        jnp.zeros_like(u), jnp.zeros_like(v), _med=False
+                    )
+                    u, v = _coarse_guard(a, b, u_w, v_w, u_0, v_0)
+                    if want_med and not fused:
+                        from ofps_tpu.ops.image import median3x3
+
+                        u, v = median3x3(u), median3x3(v)
             else:
                 u, v = refine_one(u, v)
-            if params.median_levels and lvl >= 2:
+            if want_med and fused:
                 from ofps_tpu.ops.image import median3x3
 
                 u, v = median3x3(u), median3x3(v)

@@ -60,9 +60,106 @@ def scan_flow(params, warm=True):
     return run
 
 
+def bench_like(params, b=1, iters=192):
+    """Bench-identical harness: warm-carry chain via dense_flow_warm."""
+    from ofps_tpu.ops.flow_pyramid import dense_flow_warm
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    i1 = jax.random.uniform(k1, (b, H, W), jnp.float32, 0.0, 255.0)
+    i2 = jnp.roll(i1, shift=3, axis=-1) + jax.random.uniform(
+        k2, (b, H, W), jnp.float32, -2.0, 2.0
+    )
+
+    @jax.jit
+    def run(i1, i2):
+        (u, v), warm = dense_flow_warm(i1, i2, params)
+        acc = jnp.sum(u) + jnp.sum(v)
+
+        def body(carry, _):
+            warm, acc = carry
+            (u, v), warm = dense_flow_warm(i1, i2, params, warm=warm)
+            return (warm, acc + jnp.sum(u) + jnp.sum(v)), ()
+
+        (_, acc), _ = jax.lax.scan(body, (warm, acc), None, length=iters - 1)
+        return acc
+
+    float(jax.device_get(run(i1, i2)))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jax.device_get(run(i1, i2)))
+        best = min(best, time.perf_counter() - t0)
+    return b * iters / best
+
+
+def ablate():
+    """Attribute the r3 quality-feature cost on the bench config (B=1)."""
+    variants = [
+        ("default (guarded+median+axis_sep)", FlowParams()),
+        ("guarded_warm=False", FlowParams(guarded_warm=False)),
+        ("median_levels=False", FlowParams(median_levels=False)),
+        ("both off (~r2 config)", FlowParams(guarded_warm=False,
+                                             median_levels=False)),
+        ("axis_sep=False", FlowParams(axis_sep=False)),
+    ]
+    for name, p in variants:
+        fps = bench_like(p)
+        print(f"{name:40s} {fps:8.1f} fps", flush=True)
+
+
+def blocks():
+    """Block-shape sweep for the L0 fused kernel (DMA padding overhead)."""
+    from ofps_tpu.pallas.flow_refine import flow_refine_uv
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    b = 4
+    i1 = jax.random.uniform(k1, (b, H, W), jnp.float32, 0.0, 255.0)
+    i2 = jnp.roll(i1, shift=3, axis=-1) + jax.random.uniform(
+        k2, (b, H, W), jnp.float32, -2.0, 2.0
+    )
+    uc = jnp.zeros((b, H // 2, W // 2), jnp.float32)
+
+    for bh, bw in ((128, 768), (128, 960), (128, 1920), (64, 1920),
+                   (216, 1920), (128, 640)):
+        def fn(i1, i2, uc, c, _bh=bh, _bw=bw):
+            return flow_refine_uv(
+                i1, i2, uc + c, uc, 1, 5, bh=_bh, bw=_bw,
+                coarse_flow=True, axis_sep=True, out_dtype=jnp.bfloat16,
+            )
+
+        @jax.jit
+        def run(i1, i2, uc):
+            def body(c, _):
+                out = fn(i1, i2, uc, c)
+                return jnp.sum(out[0].astype(jnp.float32)) * 1e-20, ()
+
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=24)
+            return s
+
+        try:
+            float(jax.device_get(run(i1, i2, uc)))
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(jax.device_get(run(i1, i2, uc)))
+                best = min(best, time.perf_counter() - t0)
+            us = best / (b * 24) * 1e6
+            print(f"bh={bh:4d} bw={bw:5d}  {us:8.1f} us/frame L0", flush=True)
+        except Exception as e:
+            print(f"bh={bh:4d} bw={bw:5d}  FAILED: {str(e)[:120]}", flush=True)
+
+
 def main():
     i1, i2 = make_inputs()
     which = sys.argv[1:] or ["base"]
+    if "blocks" in which:
+        blocks()
+        return
+    if "ablate" in which:
+        ablate()
+        return
     if "base" in which:
         timeit("baseline levels=5", scan_flow(FlowParams()), i1, i2)
     if "cold" in which:

@@ -99,6 +99,79 @@ def test_kernel_bf16_output(scene):
     assert du.max() <= 0.25 + 1e-6, du.max()
 
 
+def test_small_kernel_fused_guard():
+    """guard_zero_init: the in-launch warm-vs-zero guard (the fused form of
+    FlowParams.guarded_warm) must reject a runaway warm init on a static
+    scene and keep a good warm init's solution."""
+    from scipy.ndimage import gaussian_filter
+
+    from ofps_tpu.pallas.flow_refine_small import flow_refine_small_uv
+
+    rng = np.random.default_rng(3)
+    h, w = 40, 64
+    img = gaussian_filter(
+        rng.standard_normal((h, w)).astype(np.float32), 1.5
+    ) * 100
+    i1 = jnp.asarray(img)
+
+    # Static scene + garbage warm: guard must fall back to the zero branch.
+    bad_u = jnp.full((h, w), 6.0, jnp.float32)
+    bad_v = jnp.full((h, w), -5.0, jnp.float32)
+    gu, gv = flow_refine_small_uv(
+        i1, i1, bad_u, bad_v, 6, 5, interpret=True, guard_zero_init=True
+    )
+    mag = np.hypot(np.asarray(gu), np.asarray(gv))[4:-4, 4:-4]
+    assert mag.mean() < 0.3, mag.mean()
+    # Unguarded, the bad warm leaks through (sanity that the guard acts).
+    uu, uv_ = flow_refine_small_uv(
+        i1, i1, bad_u, bad_v, 6, 5, interpret=True
+    )
+    assert np.hypot(np.asarray(uu), np.asarray(uv_))[4:-4, 4:-4].mean() > mag.mean()
+
+    # Good warm on a genuinely shifted scene: the guard must KEEP the warm
+    # branch.  Production regime: warm clamped to coarse_search-1 = 5, true
+    # shift 7 — reachable from the warm init (5 +- 6) but NOT from zero
+    # (+-6 < 7), and within the kernel's +-RES_SMALL warp range.
+    big = gaussian_filter(
+        rng.standard_normal((h, w + 16)).astype(np.float32), 1.5
+    ) * 100
+    a = jnp.asarray(big[:, :w])
+    b = jnp.asarray(big[:, 7 : 7 + w])  # b(x + f) = a(x) -> true flow u = -7
+    warm_u = jnp.full((h, w), -5.0, jnp.float32)
+    warm_v = jnp.zeros((h, w), jnp.float32)
+    gu2, gv2 = flow_refine_small_uv(
+        a, b, warm_u, warm_v, 6, 5, interpret=True, guard_zero_init=True
+    )
+    inner = np.asarray(gu2)[4:-4, 12:-12]
+    assert np.abs(inner + 7.0).mean() < 0.3, np.abs(inner + 7.0).mean()
+
+
+def test_small_kernel_fused_median_matches_xla():
+    """median_out must equal ops.image.median3x3 applied to the refined
+    flow — including at non-tile-aligned (h, w) edges."""
+    from scipy.ndimage import gaussian_filter
+
+    from ofps_tpu.ops.image import median3x3
+    from ofps_tpu.pallas.flow_refine_small import flow_refine_small_uv
+
+    rng = np.random.default_rng(11)
+    h, w = 33, 60  # 1080p coarsest-level size: exercises hp/wp padding
+    img = gaussian_filter(
+        rng.standard_normal((h, w)).astype(np.float32), 1.2
+    ) * 80
+    i1 = jnp.asarray(img)
+    i2 = jnp.asarray(np.roll(img, 2, axis=1))
+    u0 = jnp.zeros((h, w), jnp.float32)
+    ru, rv = flow_refine_small_uv(i1, i2, u0, u0, 3, 5, interpret=True)
+    want_u = np.asarray(median3x3(ru))
+    want_v = np.asarray(median3x3(rv))
+    gu, gv = flow_refine_small_uv(
+        i1, i2, u0, u0, 3, 5, interpret=True, median_out=True
+    )
+    np.testing.assert_allclose(np.asarray(gu), want_u, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gv), want_v, atol=1e-6)
+
+
 def test_kernel_batched(scene):
     i1, i2, flow = scene
     got1 = np.asarray(flow_refine_tpu(i1, i2, flow, 1, 5, interpret=True))
