@@ -175,6 +175,87 @@ def calc_avg_err(
     )
 
 
+@dataclasses.dataclass
+class TranslationErrorStatistics:
+    frame: int
+    error_pos: float  # |s * est_pos - gt_pos| (scale-aligned ATE term)
+    error_delta: float  # |s * est_delta - gt_delta| per frame
+    error_dir: float  # angle between est and gt per-frame deltas (rad)
+
+
+def align_translation_scale(
+    positions: Sequence[np.ndarray], truth: Sequence[GroundTruthRow]
+) -> float:
+    """Least-squares global scale s minimizing sum |s*est - gt|^2.
+
+    Monocular epipolar translation is observable only up to one global
+    scale (the reference's scale chain keeps a CONSISTENT scale via
+    ``triangulate_scale``, utils.rs:47-89, anchored to an arbitrary first
+    step) — so position accuracy is evaluated scale-aligned, the standard
+    monocular-VO ATE convention.  Returns 0.0 when no translation was
+    estimated at all.
+    """
+    num = den = 0.0
+    for t in truth:
+        i = t.frame - 1
+        if i < 0 or i >= len(positions):
+            continue
+        e = np.asarray(positions[i], dtype=np.float64)
+        num += float(e @ t.pos)
+        den += float(e @ e)
+    return num / den if den > 1e-20 else 0.0
+
+
+def calc_pos_err(
+    truth: Sequence[GroundTruthRow],
+    positions: Sequence[np.ndarray],
+    scale: Optional[float] = None,
+) -> Tuple[float, List[TranslationErrorStatistics]]:
+    """Scale-aligned position errors vs GT (``pos_x..z``, tracking/mod.rs
+    GT schema :111-123 — carried by the reference but never scored; the
+    TPU build closes that gap).
+
+    ``positions[i]``: estimated accumulated position after frame i+1 (same
+    indexing as ``calc_err`` transforms).  Returns ``(ate_rms, stats)``
+    where ``ate_rms`` is the RMS scale-aligned absolute trajectory error.
+    """
+    if scale is None:
+        scale = align_translation_scale(positions, truth)
+    out: List[TranslationErrorStatistics] = []
+    if not truth:
+        return 0.0, out
+    prevs = [truth[0]] + list(truth[:-1])
+    sq_sum = 0.0
+    prev_est = np.zeros(3)
+    for t0, t in zip(prevs, truth):
+        i = t.frame - 1
+        if i < 0 or i >= len(positions):
+            continue
+        est = scale * np.asarray(positions[i], dtype=np.float64)
+        gt_delta = t.pos - t0.pos
+        est_delta = est - prev_est
+        prev_est = est
+        e_pos = float(np.linalg.norm(est - t.pos))
+        e_delta = float(np.linalg.norm(est_delta - gt_delta))
+        ng, ne = np.linalg.norm(gt_delta), np.linalg.norm(est_delta)
+        if ng > 1e-9 and ne > 1e-9:
+            c = float(np.clip(est_delta @ gt_delta / (ne * ng), -1.0, 1.0))
+            e_dir = math.acos(c)
+        else:
+            e_dir = 0.0
+        sq_sum += e_pos * e_pos
+        out.append(
+            TranslationErrorStatistics(
+                frame=t.frame - 1,
+                error_pos=e_pos,
+                error_delta=e_delta,
+                error_dir=e_dir,
+            )
+        )
+    ate = math.sqrt(sq_sum / max(len(out), 1))
+    return ate, out
+
+
 def pose_stats(
     transforms: Sequence[np.ndarray], poses: Sequence[np.ndarray]
 ) -> List[TrackingPoseStatistics]:
