@@ -110,12 +110,14 @@ class StreamPipeline:
         self.detector = detector
         self.grid_wh = grid_wh
         self.shard = shardings or StreamSharding()
-        # Pallas kernels have no SPMD partitioning rule over the width axis:
-        # under a spatially-sharded mesh the dense-flow step must take the
-        # XLA path (which XLA partitions with halo exchanges).  'space'
-        # sharding therefore applies to the XLA path only.
-        if flow_params.fused is None and self._spatially_sharded():
-            flow_params = flow_params._replace(fused=False)
+        # ``pallas_call`` has no SPMD partitioning rule over the width axis,
+        # so under a spatially-sharded mesh the dense flow runs through the
+        # shard_map + column-halo-exchange wrapper
+        # (:func:`ofps_tpu.parallel.spatial.dense_flow_warm_spatial`), which
+        # keeps the fused kernels intact per shard.  Set ``fused=False``
+        # explicitly to instead run the XLA path under plain GSPMD (XLA
+        # inserts exact halo collectives; slower, but bit-identical to the
+        # unsharded XLA path).
         self.flow_params = flow_params
 
     def _spatially_sharded(self) -> bool:
@@ -124,6 +126,20 @@ class StreamPipeline:
             if spec is not None and any(ax is not None for ax in spec[1:]):
                 return True
         return False
+
+    def _space_mesh(self):
+        """(mesh, stream_axis, space_axis) when width is sharded, else None.
+
+        Reads them off the image NamedSharding: spec (stream?, None, space).
+        """
+        sh = self.shard.image
+        spec = getattr(sh, "spec", None)
+        if spec is None or len(spec) < 3 or spec[2] is None:
+            return None
+        if self.flow_params.fused is False:
+            return None  # explicit XLA-path request: plain GSPMD
+        stream_ax = spec[0] if len(spec) > 0 else None
+        return sh.mesh, stream_ax, spec[2]
 
     # -- state ---------------------------------------------------------------
 
@@ -225,9 +241,21 @@ class StreamPipeline:
         """
         gray = constrain(gray, self.shard.image)
         h, w = gray.shape[-2], gray.shape[-1]
-        (u, v), warm = dense_flow_warm(
-            state.prev_gray, gray, self.flow_params, warm=state.warm_uv
-        )
+        space = self._space_mesh()
+        if space is not None:
+            # Width-sharded mesh: fused kernels per shard via shard_map +
+            # halo exchange (see parallel/spatial.py).
+            from ofps_tpu.parallel.spatial import dense_flow_warm_spatial
+
+            mesh, stream_ax, space_ax = space
+            (u, v), warm = dense_flow_warm_spatial(
+                state.prev_gray, gray, self.flow_params, state.warm_uv,
+                mesh, stream_axis=stream_ax, space_axis=space_ax,
+            )
+        else:
+            (u, v), warm = dense_flow_warm(
+                state.prev_gray, gray, self.flow_params, warm=state.warm_uv
+            )
         hp = state.has_prev[:, None, None]
         u = u * hp.astype(u.dtype)
         v = v * hp.astype(v.dtype)
