@@ -500,7 +500,17 @@ def flow_refine_uv(
     if not bh:
         bh = _pick_block(h, (128, 64, 32, 16, 8))
     if not bw:
-        bw = _pick_block(w, (768, 640, 512, 384, 256, 128))
+        # FULL-WIDTH blocks when they fit VMEM: the i1/i2 tiles carry
+        # 2*_COL_PAD + alignment slack of padding per block row, so fewer,
+        # wider blocks cut DMA bytes (1080p L0: 871 -> 664 us/frame at
+        # bw=1920 vs 768) and per-block grid overhead.  2176 columns keeps
+        # the double-buffered tiles + candidate costs comfortably inside
+        # the 64 MB budget; wider images fall back to tiling.
+        full = w + ((-w) % 128)
+        if full <= 2176:
+            bw = full
+        else:
+            bw = _pick_block(w, (768, 640, 512, 384, 256, 128))
     if coarse_flow:
         bh = max(bh, 16)  # bh // 2 must stay 8-row aligned for coarse DMAs
     ph = (-h) % bh

@@ -121,8 +121,8 @@ def blocks():
     )
     uc = jnp.zeros((b, H // 2, W // 2), jnp.float32)
 
-    for bh, bw in ((128, 768), (128, 960), (128, 1920), (64, 1920),
-                   (216, 1920), (128, 640)):
+    for bh, bw in ((128, 1920), (160, 1920), (80, 1920), (112, 1920),
+                   (96, 1920), (48, 1920)):
         def fn(i1, i2, uc, c, _bh=bh, _bw=bw):
             return flow_refine_uv(
                 i1, i2, uc + c, uc, 1, 5, bh=_bh, bw=_bw,
