@@ -6,10 +6,17 @@ processing (ofps-suite/src/app/detection.rs:705-737, tracking/mod.rs:274-336
 information over HTTP while the pipeline runs:
 
 * ``/``           — single-page view: the overlay stream + a pose trace
-                    canvas + detection status, no dependencies.
+                    canvas + a 3-D pose scene (orbit camera, per-estimator
+                    frustum + keyframe quads + position trail — the
+                    tracking view of tracking/mod.rs:274-336 with the
+                    orbit controller of utils/camera_controller.rs:54-122)
+                    + detection status, no dependencies (zero-egress: the
+                    3-D view is a ~100-line software projector, not a CDN
+                    three.js).
 * ``/stream``     — ``multipart/x-mixed-replace`` MJPEG of the HSV motion
                     overlay (the suite's live overlay).
 * ``/state.json`` — latest frame index, per-estimator euler pose + history,
+                    integrated pose quaternion/position + keyframe poses,
                     detection flag and ranges.
 
 Run with ``python -m ofps_tpu.apps.cli watch <config.json> [--port N]`` on
@@ -35,12 +42,114 @@ canvas { border: 1px solid #444; background: #181818; }
 </style></head><body>
 <h3>ofps-tpu live view</h3>
 <div id="status">waiting…</div>
-<div style="display:flex; gap:1em">
+<div style="display:flex; gap:1em; flex-wrap:wrap">
   <img src="/stream" alt="motion overlay">
   <canvas id="trace" width="480" height="360"></canvas>
+  <canvas id="scene" width="480" height="360" title="drag to orbit, wheel to zoom"></canvas>
 </div>
 <script>
 const colors = ["#6cf", "#fc6", "#6f6", "#f6f", "#ccc"];
+
+// ---- 3-D pose scene: orbit camera + per-estimator frustum/keyframes ----
+// (tracking/mod.rs:274-336 scene; camera_controller.rs orbit semantics)
+const scn = document.getElementById("scene");
+let orb = {yaw: 0.7, pitch: 0.3, dist: 4.0, drag: null};
+let lastState = null;
+scn.addEventListener("mousedown", e => { orb.drag = [e.clientX, e.clientY]; });
+window.addEventListener("mouseup", () => { orb.drag = null; });
+window.addEventListener("mousemove", e => {
+  if (!orb.drag) return;
+  orb.yaw   += (e.clientX - orb.drag[0]) * 0.01;
+  orb.pitch += (e.clientY - orb.drag[1]) * 0.01;
+  orb.pitch = Math.max(-1.5, Math.min(1.5, orb.pitch));
+  orb.drag = [e.clientX, e.clientY];
+  drawScene(lastState);
+});
+scn.addEventListener("wheel", e => {
+  e.preventDefault();
+  orb.dist = Math.max(0.5, Math.min(50, orb.dist * Math.exp(e.deltaY * 0.001)));
+  drawScene(lastState);
+}, {passive: false});
+
+function qmat(q) {  // quat [w,x,y,z] -> row-major 3x3
+  const w = q[0], x = q[1], y = q[2], z = q[3];
+  return [1-2*(y*y+z*z), 2*(x*y-w*z), 2*(x*z+w*y),
+          2*(x*y+w*z), 1-2*(x*x+z*z), 2*(y*z-w*x),
+          2*(x*z-w*y), 2*(y*z+w*x), 1-2*(x*x+y*y)];
+}
+function mv(m, v) {
+  return [m[0]*v[0]+m[1]*v[1]+m[2]*v[2],
+          m[3]*v[0]+m[4]*v[1]+m[5]*v[2],
+          m[6]*v[0]+m[7]*v[1]+m[8]*v[2]];
+}
+const dot = (a,b) => a[0]*b[0]+a[1]*b[1]+a[2]*b[2];
+const cross = (a,b) => [a[1]*b[2]-a[2]*b[1], a[2]*b[0]-a[0]*b[2], a[0]*b[1]-a[1]*b[0]];
+const norm3 = v => { const n = Math.hypot(v[0],v[1],v[2]) || 1; return [v[0]/n,v[1]/n,v[2]/n]; };
+// World (image convention, y down) -> display (y up).
+const disp = p => [p[0], -p[1], p[2]];
+
+function drawScene(s) {
+  const g = scn.getContext("2d");
+  g.clearRect(0, 0, scn.width, scn.height);
+  if (!s || !s.estimators.length) return;
+  const cy = Math.cos(orb.yaw), sy = Math.sin(orb.yaw);
+  const cp = Math.cos(orb.pitch), sp = Math.sin(orb.pitch);
+  const eye = [orb.dist*cp*sy, orb.dist*sp, orb.dist*cp*cy];
+  const fwd = norm3([-eye[0], -eye[1], -eye[2]]);
+  const right = norm3(cross(fwd, [0, 1, 0]));
+  const up = cross(right, fwd);
+  function proj(p) {
+    const d = [p[0]-eye[0], p[1]-eye[1], p[2]-eye[2]];
+    const vz = dot(d, fwd);
+    if (vz < 0.05) return null;
+    const f = 0.9 * scn.height;
+    return [scn.width/2 + f*dot(d, right)/vz, scn.height/2 - f*dot(d, up)/vz];
+  }
+  function seg(a, b, color, alpha) {
+    const pa = proj(a), pb = proj(b);
+    if (!pa || !pb) return;
+    g.strokeStyle = color; g.globalAlpha = alpha;
+    g.beginPath(); g.moveTo(pa[0], pa[1]); g.lineTo(pb[0], pb[1]); g.stroke();
+  }
+  for (let i = -3; i <= 3; i++) {  // ground grid (display y = -1)
+    seg([i, -1, -3], [i, -1, 3], "#2a2a2a", 1.0);
+    seg([-3, -1, i], [3, -1, i], "#2a2a2a", 1.0);
+  }
+  seg([0,0,0], [0.6,0,0], "#a33", 1.0);  // world axes
+  seg([0,0,0], [0,0.6,0], "#3a3", 1.0);
+  seg([0,0,0], [0,0,0.6], "#33a", 1.0);
+  // Auto-scale positions so the largest excursion sits at ~1.5 units
+  // (pure-rotation tracks keep everything at the origin).
+  let pmax = 0;
+  s.estimators.forEach(e => (e.path || []).forEach(p => {
+    pmax = Math.max(pmax, Math.hypot(p[0], p[1], p[2]));
+  }));
+  const ps = pmax > 1e-6 ? 1.5 / pmax : 1.0;
+  function frustum(q, t, color, alpha, sz) {
+    const m = qmat(q);
+    const apex = disp([t[0]*ps, t[1]*ps, t[2]*ps]);
+    const cs = [[-sz, -sz*0.75, sz*1.6], [sz, -sz*0.75, sz*1.6],
+                [sz, sz*0.75, sz*1.6], [-sz, sz*0.75, sz*1.6]].map(c => {
+      const wp = mv(m, c);
+      return [apex[0]+wp[0], apex[1]-wp[1], apex[2]+wp[2]];
+    });
+    for (let k = 0; k < 4; k++) {
+      seg(apex, cs[k], color, alpha);
+      seg(cs[k], cs[(k+1)%4], color, alpha);
+    }
+  }
+  s.estimators.forEach((e, i) => {
+    const col = colors[i % 5];
+    (e.keyframes || []).forEach(kf =>
+      frustum(kf.slice(0, 4), kf.slice(4), col, 0.25, 0.22));
+    const path = e.path || [];
+    for (let k = 1; k < path.length; k++)
+      seg(disp([path[k-1][0]*ps, path[k-1][1]*ps, path[k-1][2]*ps]),
+          disp([path[k][0]*ps, path[k][1]*ps, path[k][2]*ps]), col, 0.6);
+    if (e.q) frustum(e.q, e.pos || [0,0,0], col, 1.0, 0.3);
+  });
+  g.globalAlpha = 1.0;
+}
 async function poll() {
   try {
     const s = await (await fetch("/state.json")).json();
@@ -74,6 +183,8 @@ async function poll() {
       });
     });
     g.globalAlpha = 1.0;
+    lastState = s;
+    drawScene(s);
   } catch (err) {}
   setTimeout(poll, 250);
 }
@@ -84,7 +195,13 @@ poll();
 class WatchState:
     """Shared latest-frame state between the pipeline loop and HTTP."""
 
-    def __init__(self, trace_len: int = 300, trace_scale_deg: float = 60.0):
+    def __init__(
+        self,
+        trace_len: int = 300,
+        trace_scale_deg: float = 60.0,
+        kf_every: int = 12,
+        kf_max: int = 32,
+    ):
         self.lock = threading.Lock()
         self.cond = threading.Condition(self.lock)
         self.jpeg: Optional[bytes] = None
@@ -98,9 +215,28 @@ class WatchState:
         self.trace: List[List[List[float]]] = []
         self.trace_len = trace_len
         self.trace_scale_deg = trace_scale_deg
+        # 3-D pose scene state: integrated quaternion [w,x,y,z] + position
+        # per estimator, a capped position trail, and keyframe poses
+        # ([w,x,y,z,px,py,pz], one every kf_every frames) — the data behind
+        # the suite's tracking scene (tracking/mod.rs:274-336).
+        self.quat: List[List[float]] = []
+        self.pos: List[List[float]] = []
+        self.path: List[List[List[float]]] = []
+        self.kf: List[List[List[float]]] = []
+        self.kf_every = kf_every
+        self.kf_max = kf_max
         self.done = False
 
-    def push(self, frame_idx, overlay_rgba, detected, names, euler_deg):
+    def push(
+        self,
+        frame_idx,
+        overlay_rgba,
+        detected,
+        names,
+        euler_deg,
+        quats=None,
+        positions=None,
+    ):
         """Publish one processed frame (overlay may be None)."""
         blob = ctype = None
         if overlay_rgba is not None:
@@ -111,10 +247,28 @@ class WatchState:
             self.names = list(names)
             if not self.trace:
                 self.trace = [[] for _ in names]
+                self.path = [[] for _ in names]
+                self.kf = [[] for _ in names]
             self.euler = [list(map(float, e)) for e in euler_deg]
             for tr, e in zip(self.trace, self.euler):
                 tr.append(e)
                 del tr[: -self.trace_len]
+            if quats is not None:
+                self.quat = [list(map(float, q)) for q in quats]
+                self.pos = [
+                    list(map(float, p))
+                    for p in (
+                        positions
+                        if positions is not None
+                        else [[0.0, 0.0, 0.0]] * len(quats)
+                    )
+                ]
+                for i, (q, p) in enumerate(zip(self.quat, self.pos)):
+                    self.path[i].append(p)
+                    del self.path[i][: -self.trace_len]
+                    if frame_idx % self.kf_every == 0:
+                        self.kf[i].append(q + p)
+                        del self.kf[i][: -self.kf_max]
             if blob is not None:
                 self.jpeg = blob
                 self.jpeg_ctype = ctype
@@ -137,8 +291,22 @@ class WatchState:
                 # serializes AFTER release, racing push()'s append/trim on
                 # the same inner lists otherwise.
                 "estimators": [
-                    {"name": n, "euler_deg": list(e), "trace": [list(v) for v in t]}
-                    for n, e, t in zip(self.names, self.euler, self.trace)
+                    {
+                        "name": n,
+                        "euler_deg": list(e),
+                        "trace": [list(v) for v in t],
+                        "q": list(self.quat[i]) if i < len(self.quat) else None,
+                        "pos": list(self.pos[i]) if i < len(self.pos) else None,
+                        "path": [list(p) for p in self.path[i]]
+                        if i < len(self.path)
+                        else [],
+                        "keyframes": [list(k) for k in self.kf[i]]
+                        if i < len(self.kf)
+                        else [],
+                    }
+                    for i, (n, e, t) in enumerate(
+                        zip(self.names, self.euler, self.trace)
+                    )
                 ],
             }
 
@@ -317,14 +485,17 @@ def run_watch(
                     if getattr(frame, "frame", None) is not None
                     else rgba
                 )
-            eulers = []
+            eulers, quats, positions = [], [], []
             for t in range(len(insts)):
-                q = np.asarray(out.rot[t][0])
+                q = np.asarray(out.rot[t][0])  # integrated rotation
                 eulers.append(
                     [float(np.degrees(v)) for v in gtmod._qeuler(q)]
                 )
+                quats.append(q)
+                positions.append(np.asarray(out.pos[t][0]))
             state.push(
-                frames, img, detected, [i.name for i in insts], eulers
+                frames, img, detected, [i.name for i in insts], eulers,
+                quats=quats, positions=positions,
             )
             frames += 1
             timer.tick()

@@ -32,15 +32,26 @@ def test_watch_server_units():
     try:
         overlay = np.zeros((16, 16, 4), np.float32)
         overlay[4:12, 4:12] = [1.0, 0.2, 0.2, 1.0]
-        state.push(0, overlay, True, ["almeida"], [[0.1, -0.2, 0.3]])
+        state.push(
+            0, overlay, True, ["almeida"], [[0.1, -0.2, 0.3]],
+            quats=[[1.0, 0.0, 0.0, 0.0]], positions=[[0.0, 0.5, 1.0]],
+        )
 
         page = _get(port, "/").decode()
         assert "ofps-tpu live view" in page
+        assert 'id="scene"' in page and "drawScene" in page  # 3-D pose pane
 
         snap = json.loads(_get(port, "/state.json"))
         assert snap["frame"] == 0 and snap["detected"] is True
         assert snap["estimators"][0]["name"] == "almeida"
         assert snap["estimators"][0]["euler_deg"] == [0.1, -0.2, 0.3]
+        assert snap["estimators"][0]["q"] == [1.0, 0.0, 0.0, 0.0]
+        assert snap["estimators"][0]["pos"] == [0.0, 0.5, 1.0]
+        assert snap["estimators"][0]["path"] == [[0.0, 0.5, 1.0]]
+        # frame 0 is a keyframe: [w,x,y,z,px,py,pz]
+        assert snap["estimators"][0]["keyframes"] == [
+            [1.0, 0.0, 0.0, 0.0, 0.0, 0.5, 1.0]
+        ]
 
         # Stream: read the first multipart chunk, then finish the state so
         # the handler terminates.
@@ -115,6 +126,12 @@ def test_watch_end_to_end(tmp_path):
         assert est["name"] == "almeida"
         assert len(est["trace"]) == 6
         assert all(np.isfinite(v) for e in est["trace"] for v in e)
+        # 3-D pose scene data: integrated quaternion (unit), position,
+        # trail and keyframes all served.
+        assert abs(np.linalg.norm(est["q"]) - 1.0) < 1e-3
+        assert len(est["pos"]) == 3 and len(est["path"]) == 6
+        assert len(est["keyframes"]) >= 1
+        assert all(len(k) == 7 for k in est["keyframes"])
         # The clip translates -> no detection flag is required, but the
         # field must have produced a JPEG at some point iff detected once.
         assert snap["detected"] in (True, False)
