@@ -207,15 +207,32 @@ def robust_fit(
         # minimal-sample noise (the reference's OpenCV RANSAC ends with the
         # same refit inside findHomography/findEssentialMat; libmv's 7-point
         # path lacks it — one source of its av-column error).
+        #
+        # Acceptance requires the refit to (a) keep the inlier set from
+        # shrinking AND (b) strictly reduce the error over the current
+        # inlier set.  (b) is what keeps DEGENERATE-data behavior backend-
+        # stable: on an exact pure-rotation field the fundamental has a
+        # 3-dim solution family and EVERY member fits the inliers at ~0
+        # error, so an unconditional refit replaces the minimal-sample
+        # model with an arbitrary family member whose downstream twisted-
+        # pair/cheirality resolution flips with f32 noise — measured as
+        # gt-mv libmv-7pt 0.0016 deg on CPU vs 0.4765 on TPU.  With the
+        # strict-improvement rule the refit is a no-op at the degenerate
+        # floor and still accepted on genuinely noisy (codec-MV) data.
         inl = inliers.astype(jnp.float32)
+        err_cur = jnp.sum(best_err * inl)
         for _ in range(max(1, lo_iters)):
             m2 = refit_fn(x1, x2, inl)
             err2 = error_fn(m2[None], x1, x2)[0]
             inl2 = ((err2 <= cut) & (w > 0.5)).astype(jnp.float32)
-            good = (jnp.sum(inl2) >= jnp.sum(inl)) & jnp.all(
-                jnp.isfinite(m2)
+            err_new = jnp.sum(err2 * inl)  # same set -> comparable sums
+            good = (
+                (jnp.sum(inl2) >= jnp.sum(inl))
+                & (err_new < err_cur)
+                & jnp.all(jnp.isfinite(m2))
             )
             model = jnp.where(good, m2, model)
+            err_cur = jnp.where(good, jnp.sum(err2 * inl2), err_cur)
             inl = jnp.where(good, inl2, inl)
         inliers = inl > 0.5
         final_score = jnp.where(

@@ -13,9 +13,13 @@ wiggle the numbers a few percent).
 
 Platform note: CI runs the XLA reference flow path (also the spatially-
 sharded multi-chip path); the single-chip TPU serving path runs the fused
-Pallas kernels.  Since the XLA path's border cost bias was fixed (edge-
-padded candidate windows, like the kernels) the two agree within ~15% on
-every config.  docs_stats/SUMMARY.md carries the TPU numbers.
+Pallas kernels.  The two paths compute the same algorithm (axis-separable
+refine at warm levels, 2-D argmin at coarse/small levels, edge-padded
+candidate windows, displacement tie prior) and are parity-gated in
+tests/test_flow_refine_kernel.py (zero-bias + bounded-scatter + EPE-
+quality gates); scripts/check_backend_agreement.py additionally asserts
+CPU-vs-TPU agreement of whole-matrix cells on the live chip.
+docs_stats/SUMMARY.md carries the TPU numbers.
 
 Reference comparison points (BASELINE.md): Farneback column plain almeida
 0.0205, homography 0.0285; MPEG column almeida 0.0237/0.0480 deg/frame.
@@ -37,8 +41,15 @@ from synthetic import euler_deg, synthetic_field
 
 # (label, estimator, props) -> max avg deg/frame per (source, clip).
 GATES = {
+    # libmv-7pt pins the LO-refit degenerate rule: on exact pure-rotation
+    # fields the fundamental has a 3-dim solution family, and a refit
+    # accepted without strict error improvement replaces the minimal-
+    # sample model with an arbitrary family member whose twisted-pair
+    # resolution flips per-backend (measured 0.0016 CPU / 0.4765 TPU
+    # before the rule; ~0.004 on both after).
     ("gt-mv", 0): {"almeida": 1e-3, "almeida-ransac": 1e-3,
-                   "homography-ransac": 0.02, "multiview-lmeds": 0.06},
+                   "homography-ransac": 0.02, "multiview-lmeds": 0.06,
+                   "libmv-7pt": 0.02},
     ("block", 0): {"almeida": 0.12, "almeida-ransac": 0.021,
                    "homography-ransac": 0.055, "multiview-lmeds": 0.03},
     ("block", 5): {"almeida": 0.017, "almeida-ransac": 0.016,
