@@ -165,8 +165,20 @@ def effective_levels(params: FlowParams, h: int, w: int) -> int:
     return levels
 
 
-def _level_refine(i1, warped, search: int, win: int, cost_dtype=jnp.bfloat16):
+def _level_refine(
+    i1, warped, search: int, win: int, cost_dtype=jnp.bfloat16,
+    axis_sep: bool = False,
+):
     """Residual displacement for one level: cost sweep + argmin + subpixel.
+
+    ``axis_sep=True`` (requires ``search == 1``) evaluates only the 5-cost
+    cross and refines each axis independently — the SAME selection the fused
+    Pallas kernel runs on warm-started levels (pallas/flow_refine.py
+    ``axis_refine``), so the XLA path (CPU tests, spatially-sharded meshes)
+    and the single-chip kernel path compute one algorithm and stay within
+    bf16-carry noise of each other (gated by
+    tests/test_flow.py::test_xla_axis_sep_matches_kernel_math and the
+    fused-vs-XLA pipeline parity test).
 
     Bandwidth-lean formulation: the (2R+1)^2 candidate costs are *never
     stacked into an (..., S) volume*.  Pass A carries a running (min cost,
@@ -222,6 +234,34 @@ def _level_refine(i1, warped, search: int, win: int, cost_dtype=jnp.bfloat16):
         # cost gap and resolves every plateau toward the smaller shift.
         tie = _TIE_EPS * (jnp.abs(dx) + jnp.abs(dy)).astype(jnp.float32)
         return jnp.where(oob, _BIG, c + tie)
+
+    if axis_sep:
+        # 5-cost cross, per-axis selection — kernel-exact math (the flat
+        # indices of the cross in the row-major dy-outer order at side=3).
+        assert search == 1, "axis_sep is a search=1 fast path"
+        cym, cxm, c00, cxp, cyp = (cand_cost(s) for s in (1, 3, 4, 5, 7))
+
+        def axis_refine(cm, cc, cp):
+            bi = jnp.where(
+                cm < cc,
+                jnp.where(cm <= cp, -1, 1),
+                jnp.where(cp < cc, 1, 0),
+            )
+            denom = cm - 2.0 * cc + cp
+            off = jnp.where(
+                jnp.abs(denom) > 1e-12,
+                0.5 * (cm - cp) / jnp.maximum(jnp.abs(denom), 1e-12)
+                * jnp.sign(denom),
+                0.0,
+            )
+            off = jnp.clip(off, -0.5, 0.5)
+            # Parabola only at the interior minimum; boundary winners move
+            # the full integer step (same edge rule as the 2-D path).
+            return bi.astype(jnp.float32) + jnp.where(bi == 0, off, 0.0)
+
+        return jnp.stack(
+            [axis_refine(cxm, c00, cxp), axis_refine(cym, c00, cyp)], axis=-1
+        )
 
     best_c = cand_cost(0)
     # Derive from best_c (not a fresh constant) so the carry keeps best_c's
@@ -472,8 +512,17 @@ def _dense_flow_impl(
             flow = jnp.stack([u_g, v_g], axis=-1)
         else:
             warped = _warp(b, flow, allow_pallas=on_tpu)
+            # Mirror the fused path's routing exactly: axis-separable
+            # selection at the warm big levels (the ones flow_refine_uv
+            # serves), full 2-D argmin at the small/coarse levels (the ones
+            # flow_refine_small serves) — one algorithm on both backends.
             flow = flow + _level_refine(
-                a, warped, search, params.win, params.cost_dtype
+                a, warped, search, params.win, params.cost_dtype,
+                axis_sep=(
+                    params.axis_sep
+                    and search == 1
+                    and h * w >= params.fuse_min_pixels
+                ),
             )
         if params.median_levels and lvl >= 2:
             from ofps_tpu.ops.image import median3x3

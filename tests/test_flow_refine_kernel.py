@@ -187,3 +187,98 @@ def test_kernel_batched(scene):
     )
     np.testing.assert_allclose(gotb[0], got1, atol=1e-5)
     np.testing.assert_allclose(gotb[1], got1, atol=1e-5)
+
+
+def test_xla_axis_sep_matches_kernel_axis_sep(scene):
+    """The XLA path's axis-separable selection IS the kernel's algorithm.
+
+    Round-4 parity work: _level_refine(axis_sep=True) reproduces the fused
+    kernel's 5-cost cross + per-axis refine, so the spatially-sharded XLA
+    deployment computes the same flow as the single-chip kernels (the round-3
+    ~15% end-to-end divergence was this algorithmic difference).
+    """
+    i1, i2, flow = scene
+    ref = np.asarray(
+        flow
+        + _level_refine(
+            i1, warp_bilinear(i2, flow), 1, 5, jnp.float32, axis_sep=True
+        )
+    )
+    sep_u, sep_v = flow_refine_uv(
+        i1, i2, flow[..., 0], flow[..., 1], 1, 5, interpret=True, axis_sep=True
+    )
+    got = np.stack([np.asarray(sep_u), np.asarray(sep_v)], axis=-1)
+    d = np.abs(got - ref)[8:-8, 8:-8]
+    assert d.mean() < 0.03, d.mean()
+    assert np.percentile(d, 99) < 0.3
+
+
+def test_dense_flow_fused_matches_xla_end_to_end(monkeypatch):
+    """Full-pyramid fused(-interpret) vs XLA dense_flow parity gates.
+
+    Gates the product risk VERDICT r3 named: multi-chip ('space'-sharded)
+    deployments run the XLA path while single-chip serving runs the fused
+    kernels.  Three gates, chosen for what each failure class looks like:
+
+    * **zero signed bias** (<0.02 px per component) — any alignment/phase
+      bug (upsample convention, warp ordering, selection-rule drift)
+      shows up as a systematic offset; tie-flips do not.
+    * **bounded pixelwise scatter** (mean < 8% of |flow|, p99 < 1.5 px) —
+      the round-3 state was ~15% mean; the residual here is zero-bias
+      argmin flips between near-tied candidates (bf16 cost rounding and
+      different f32 summation orders legitimately pick different members
+      of a cost plateau), bounded by the matcher's own ~0.3 px noise.
+    * **quality parity** — both paths' EPE against ground truth within
+      0.05 px of each other: a sharded deployment loses no accuracy vs
+      single-chip serving, which is the guarantee users actually need.
+
+    The scene matches the eval-clip regime (sub-degree camera rotations ->
+    flows of a few px); the shared ``scene`` fixture's ±30 px flows instead
+    stress the kernel's documented ±warp-residual clamp, which the
+    per-level tests above cover.
+    """
+    import functools
+
+    from scipy.ndimage import gaussian_filter
+
+    import ofps_tpu.pallas.flow_refine as fr
+    import ofps_tpu.pallas.flow_refine_small as frs
+    from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow
+
+    monkeypatch.setattr(
+        fr, "flow_refine_uv", functools.partial(fr.flow_refine_uv, interpret=True)
+    )
+    monkeypatch.setattr(
+        frs,
+        "flow_refine_small_uv",
+        functools.partial(frs.flow_refine_small_uv, interpret=True),
+    )
+
+    rng = np.random.default_rng(3)
+    h, w = 96, 768
+    img = gaussian_filter(
+        rng.standard_normal((h + 24, w + 24)).astype(np.float32), 2.0
+    ) * 100
+    u = gaussian_filter(rng.standard_normal((h, w)).astype(np.float32), 25) * 6 + 2
+    v = gaussian_filter(rng.standard_normal((h, w)).astype(np.float32), 25) * 4 - 1
+    flow = jnp.asarray(np.stack([u, v], -1))
+    i2 = jnp.asarray(img[12 : 12 + h, 12 : 12 + w])
+    i1 = jnp.asarray(np.asarray(warp_bilinear(i2, flow)))
+
+    fused = np.asarray(dense_flow(i1, i2, FlowParams(fused=True)))
+    xla = np.asarray(dense_flow(i1, i2, FlowParams(fused=False)))
+    interior = (slice(12, -12), slice(12, -12))
+    diff = (fused - xla)[interior]
+    d = np.linalg.norm(diff, axis=-1)
+    mag = np.linalg.norm(np.asarray(flow), axis=-1)[interior].mean()
+    # 1) systematic-divergence canary: signed per-component bias ~0.
+    assert abs(diff[..., 0].mean()) < 0.02, diff[..., 0].mean()
+    assert abs(diff[..., 1].mean()) < 0.02, diff[..., 1].mean()
+    # 2) scatter bound (r3 was ~15% mean; zero-bias tie flips remain).
+    assert d.mean() < 0.08 * mag, (d.mean(), mag)
+    assert np.percentile(d, 99) < 1.5, np.percentile(d, 99)
+    # 3) quality parity: neither path measurably better against truth.
+    true = np.asarray(flow)[interior]
+    epe_f = np.linalg.norm(fused[interior] - true, axis=-1).mean()
+    epe_x = np.linalg.norm(xla[interior] - true, axis=-1).mean()
+    assert abs(epe_f - epe_x) < 0.05, (epe_f, epe_x)
