@@ -34,7 +34,10 @@ from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow_warm
 BASELINE_FPS = 1000.0 / 45.679  # reference OpenCV dense flow, demo.md:85
 
 
-def build_pipeline_runner(batch: int, h: int, w: int, iters: int):
+def build_pipeline_runner(
+    batch: int, h: int, w: int, iters: int,
+    estimators=("almeida", "homography"),
+):
     """Jitted runner for the full multi-stream step at (batch, h, w)."""
     from ofps_tpu.core.camera import StandardCamera
     from ofps_tpu.detectors.base import create_detector
@@ -43,10 +46,7 @@ def build_pipeline_runner(batch: int, h: int, w: int, iters: int):
 
     pipe = StreamPipeline(
         camera=StandardCamera.create(w / h, 90.0),
-        estimators=[
-            create_estimator("almeida"),
-            create_estimator("homography"),
-        ],
+        estimators=[create_estimator(name) for name in estimators],
         detector=create_detector("block_motion"),
         flow_params=FlowParams(),
         emit_dense_flow=False,
@@ -74,7 +74,10 @@ def build_pipeline_runner(batch: int, h: int, w: int, iters: int):
     return run
 
 
-def bench_pipeline(h: int, w: int, batches=(1, 4, 8), iters: int = 96):
+def bench_pipeline(
+    h: int, w: int, batches=(1, 4, 8), iters: int = 96,
+    estimators=("almeida", "homography"),
+):
     # 96 chained steps: at 24 the ~29 ms tunnel dispatch still added
     # ~1.2 ms/frame at b1 and underreported the step rate by ~30%.
     """fps of the complete step per batch size (one warm compile each)."""
@@ -82,7 +85,7 @@ def bench_pipeline(h: int, w: int, batches=(1, 4, 8), iters: int = 96):
     for b in batches:
         key = jax.random.PRNGKey(1)
         gray = jax.random.uniform(key, (b, h, w), jnp.float32, 0.0, 255.0)
-        run = build_pipeline_runner(b, h, w, iters)
+        run = build_pipeline_runner(b, h, w, iters, estimators)
         float(jax.device_get(run(gray, key)))  # compile + warm
         best = min(_timed(run, gray, key) for _ in range(3))
         out[f"b{b}"] = round(b * iters / best, 2)
@@ -201,6 +204,15 @@ def main() -> None:
     if not args.no_pipeline and not args.profile:
         print("benchmarking full pipeline step...", file=sys.stderr)
         record["pipeline_1080p_fps_per_chip"] = bench_pipeline(h, w)
+        # All-FOUR-estimator serving config (the reference's full suite:
+        # almeida + homography + multiview + libmv concurrently).  The
+        # 5-point multiview stage dominates, so fewer chained iters keep
+        # the run bounded; B=8 amortizes its fixed hypothesis math best.
+        print("benchmarking all-4-estimator step...", file=sys.stderr)
+        record["pipeline_all4_fps_per_chip"] = bench_pipeline(
+            h, w, batches=(8,), iters=24,
+            estimators=("almeida", "homography", "multiview", "libmv"),
+        )["b8"]
     print(json.dumps(record))
 
 

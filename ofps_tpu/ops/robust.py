@@ -87,22 +87,47 @@ def sample_indices(key, w: jnp.ndarray, rows: int, k: int) -> jnp.ndarray:
     minimal sets).
     """
     m = jnp.maximum(jnp.sum(w > 0.5).astype(jnp.int32), 1)
-    order = jnp.argsort(w < 0.5, stable=True)  # valid entries first
+    # Index of the r-th valid point == searchsorted(cumsum(valid), r+1):
+    # identical to argsort(w < 0.5, stable)[r] (valid entries keep raster
+    # order) at log(N) gathers instead of a full bitonic sort over N —
+    # the sampler was ~400 us of the almeida stage at serving grid sizes.
+    c = jnp.cumsum((w > 0.5).astype(jnp.int32))
     u = jax.random.uniform(key, (rows, k))
     r = jnp.minimum((u * m).astype(jnp.int32), m - 1)
-    return order[r]
+    return jnp.searchsorted(c, r + 1, side="left").astype(jnp.int32)
 
 
 def _masked_median(err: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Median over valid entries; +inf rows (no valid) give +inf."""
-    big = jnp.float32(1e30)
-    masked = jnp.where(w > 0.5, err, big)
-    srt = jnp.sort(masked, axis=-1)
-    nvalid = jnp.sum(w > 0.5).astype(jnp.int32)
-    mid = jnp.maximum(nvalid - 1, 0) // 2
-    return jnp.take_along_axis(
-        srt, jnp.broadcast_to(mid, srt.shape[:-1])[..., None], axis=-1
-    )[..., 0]
+    """Median over valid entries; rows with no valid entries give 1e30.
+
+    Bitwise radix-select instead of ``jnp.sort``: non-negative f32 bit
+    patterns order like their values, so the k-th order statistic is built
+    MSB-first in 31 fixed iterations of (compare + masked popcount) — pure
+    VPU work that replaces the (H, S) bitonic sort (~log^2 S lane-shuffle
+    passes) the per-hypothesis LMedS/adaptive-threshold medians were
+    spending most of their time in.  Exact: returns the same element the
+    sort-based selection picked (NaNs order above +inf, as jnp.sort).
+    """
+    valid = w > 0.5
+    nvalid = jnp.sum(valid).astype(jnp.int32)
+    k = jnp.maximum(nvalid - 1, 0) // 2  # 0-based rank of the median
+    u = jax.lax.bitcast_convert_type(
+        jnp.maximum(err.astype(jnp.float32), 0.0), jnp.uint32
+    )
+
+    def bit_step(i, p):
+        b = jnp.uint32(1) << (30 - i).astype(jnp.uint32)
+        t = p | b
+        # entries strictly below the candidate prefix (lower bits zero).
+        cnt = jnp.sum((u < t[..., None]) & valid, axis=-1)
+        # If fewer than k+1 entries sit below t, the median has this bit.
+        return jnp.where(cnt < k + 1, t, p)
+
+    p = jax.lax.fori_loop(
+        0, 31, bit_step, jnp.zeros(err.shape[:-1], jnp.uint32)
+    )
+    med = jax.lax.bitcast_convert_type(p, jnp.float32)
+    return jnp.where(nvalid > 0, med, jnp.float32(1e30))
 
 
 def robust_fit(
@@ -158,10 +183,20 @@ def robust_fit(
 
     if eval_cap and eval_cap < n:
         wc = uniform_cap_weights(w, eval_cap)
-        # Selected entries first (deterministic), zero-weight tail after.
-        rank = wc * 2.0 - jnp.arange(n, dtype=jnp.float32) / n
-        _, eidx = jax.lax.top_k(rank, eval_cap)
-        x1e, x2e, we = x1[eidx], x2[eidx], wc[eidx]
+        # Compact the selected entries (raster order) to the front via
+        # searchsorted on their cumulative count — the same (eval_cap,)
+        # subset the previous rank-sort top_k produced, at log(N) gathers
+        # instead of a full top_k sort over N.
+        cw = jnp.cumsum((wc > 0.5).astype(jnp.int32))
+        eidx = jnp.minimum(
+            jnp.searchsorted(
+                cw, jnp.arange(1, eval_cap + 1, dtype=jnp.int32), side="left"
+            ),
+            n - 1,
+        ).astype(jnp.int32)
+        # Past-the-end queries clamp to the last index; zero their weight.
+        we = jnp.where(jnp.arange(eval_cap) < cw[-1], wc[eidx], 0.0)
+        x1e, x2e = x1[eidx], x2[eidx]
     else:
         x1e, x2e, we = x1, x2, w
 

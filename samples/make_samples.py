@@ -142,16 +142,9 @@ def main(outdir: str = None):
             "settings": {"max_frame_gap": 10, "min_frames": 5},
             "output": {"ranges_csv": os.path.join(outdir, "cctv_ranges.csv")},
         },
-        # "Homography-estimator camera rotation tracking on real-world
-        # videos (samples/real_world.json)" — point at any user video.
-        "real_world.json": {
-            "app": "tracking",
-            "decoder": {"input": clip},
-            "camera_aspect": 1.3333,
-            "camera_fov_y": 90.0,
-            "estimators": [{"name": "homography"}, {"name": "almeida"}],
-            "output": {"stats_csv_prefix": os.path.join(outdir, "rw_stats_")},
-        },
+        # samples/real_world.json (real-imagery panning, rendered by
+        # scripts/real_footage.py) is CHECKED IN, not generated here —
+        # it must keep pointing at the real footage + its GT CSV.
     }
     here = os.path.dirname(os.path.abspath(__file__))
     for name, cfg in configs.items():
