@@ -32,24 +32,59 @@ def label_components(active: jnp.ndarray) -> jnp.ndarray:
 
     ``active``: (H, W) bool.  Returns (H, W) int32 where each component is
     labeled by the smallest linear index it contains.
+
+    The detector grid is tiny (14x14 by default), so the TPU-right
+    algorithm is TRANSITIVE CLOSURE ON THE MXU: boolean adjacency matrix
+    squared ceil(log2(n)) times (each squaring doubles reachable path
+    length — exact, static op count), then each cell takes the minimum
+    linear index among its reachable set.  The previous propagate-until-
+    converged ``while_loop`` needed O(component diameter) rounds of tiny
+    (14, 14) VPU ops, and each round's ``jnp.any`` convergence test forced
+    a sequential dependency: ~2 ms of an 8-stream serving step for ~50x
+    less arithmetic than one of these matmuls.
+
+    Grids past 64x64 (adjacency would exceed ~16M entries) fall back to
+    hook + pointer-jump label propagation with a statically margined round
+    count (worst observed over a 900-field random + snake ensemble is
+    ~3x log2(n); see tests/test_detector.py adversarial cases).
     """
     h, w = active.shape
-    idx = (jnp.arange(h * w, dtype=jnp.int32)).reshape(h, w)
-    labels = jnp.where(active, idx, _BIG)
+    n = h * w
+    idx = jnp.arange(n, dtype=jnp.int32)
+    if n <= 4096:
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
+        act = active.reshape(-1)
+        neigh = (jnp.abs(ys[:, None] - ys[None, :]) <= 1) & (
+            jnp.abs(xs[:, None] - xs[None, :]) <= 1
+        )  # includes self-loops: squaring keeps shorter paths alive
+        r = (neigh & act[:, None] & act[None, :]).astype(jnp.bfloat16)
+        for _ in range(max(1, int(np.ceil(np.log2(max(2, n)))))):
+            # 0/1 entries are exact in bf16; row sums <= n < 2^24 are exact
+            # in the f32 accumulator, so the > 0 threshold is reliable.
+            rr = jnp.dot(r, r, preferred_element_type=jnp.float32)
+            r = (rr > 0).astype(jnp.bfloat16)
+        lab = jnp.min(
+            jnp.where(r > 0, idx[None, :], _BIG), axis=1
+        ).astype(jnp.int32)
+        return jnp.where(act, lab, _BIG).reshape(h, w)
 
-    def body(state):
-        lab, _ = state
+    labels = jnp.where(active, idx.reshape(h, w), _BIG)
+    rounds = max(1, 3 * int(np.ceil(np.log2(n))) + 4)
+
+    def body(_, lab):
         best = lab
         for dx, dy in _NEIGHBORS8:
             best = jnp.minimum(best, _shift_min(lab, dx, dy))
-        new = jnp.where(active, jnp.minimum(lab, best), _BIG)
-        return new, jnp.any(new != lab)
+        lab = jnp.where(active, jnp.minimum(lab, best), _BIG)
+        # Pointer jump: labels are linear indices, so lab[lab] is one
+        # gather; inactive cells (BIG) keep BIG via the where.
+        flat = lab.reshape(-1)
+        safe = jnp.where(flat < n, flat, 0)
+        jumped = flat[safe].reshape(h, w)
+        return jnp.where(lab < n, jumped, _BIG)
 
-    def cond(state):
-        return state[1]
-
-    labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.array(True)))
-    return labels
+    return jax.lax.fori_loop(0, rounds, body, labels)
 
 
 def largest_component(active: jnp.ndarray):

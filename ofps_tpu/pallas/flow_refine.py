@@ -190,6 +190,25 @@ def _refine_kernel(
 
     wait_dmas(t, slot)
 
+    if stage <= 0:  # DMA wait only (touch every tile so none is DCE'd)
+        # (bf16 scalar extracts don't lower on Mosaic — reduce row slices.)
+        probe = s1[slot, 8 : 8 + bh, _COL_PAD : _COL_PAD + bw].astype(
+            jnp.float32
+        ) * 1e-30 + jnp.sum(s2[slot, :1, :].astype(jnp.float32)) * 1e-30
+        if up:
+            probe = probe + jnp.sum(
+                scu[slot, :1, :].astype(jnp.float32)
+                + scv[slot, :1, :].astype(jnp.float32)
+            ) * 1e-30
+        else:
+            probe = probe + jnp.sum(
+                u_ref[0, :1, :].astype(jnp.float32)
+                + v_ref[0, :1, :].astype(jnp.float32)
+            ) * 1e-30
+        ou_ref[0] = probe.astype(out_dtype)
+        ov_ref[0] = probe.astype(out_dtype)
+        return
+
     if not up:
         u = u_ref[0].astype(jnp.float32)
         v = v_ref[0].astype(jnp.float32)

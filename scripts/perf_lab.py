@@ -19,7 +19,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow
 
-B, H, W, ITERS = 16, 1080, 1920, 6
+B = int(os.environ.get("PERF_B", "16"))
+ITERS = int(os.environ.get("PERF_ITERS", "6"))
+H, W = 1080, 1920
 
 
 def make_inputs():
@@ -212,7 +214,7 @@ def main():
             a, b = pyr[0], pyr2[0]
             h, w = a.shape[-2], a.shape[-1]
             uc = jnp.zeros(a.shape[:-2] + (h // 2, w // 2), jnp.float32)
-            for st in (1, 2, 3, 4, 99):
+            for st in (0, 1, 2, 3, 4, 99):
                 def fn(a, b, uc, c, st=st):
                     return flow_refine_uv(
                         a, b, uc + c, uc, 1, 5, coarse_flow=True, stage=st

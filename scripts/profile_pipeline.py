@@ -136,11 +136,8 @@ def main():
     stage("almeida", alm_fn, (sparse, jax.random.PRNGKey(1)))
 
     # almeida substages: sampling / minimal fits / eval scoring
-    from ofps_tpu.estimators.almeida import (
-        _sample_indices,
-        solve_ypr_weighted as _ypr,
-    )
-    from ofps_tpu.ops.robust import uniform_cap_weights
+    from ofps_tpu.estimators.almeida import solve_ypr_weighted as _ypr
+    from ofps_tpu.ops.robust import sample_indices as _sample_indices
 
     def samp_fn(c):
         sp, k = c

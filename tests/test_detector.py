@@ -101,3 +101,66 @@ def test_empty_flow_no_detection():
     res = det.detect(flow)
     assert not bool(res.detected)
     assert int(res.area) == 0
+
+
+def test_label_components_adversarial_paths():
+    """Static-round pointer jumping must converge on worst-case shapes.
+
+    A boustrophedon snake is the longest-diameter component a grid can
+    hold (diameter ~ H*W); random fields cross-check against a classic
+    BFS flood fill oracle.
+    """
+    h, w = 14, 14
+    snake = np.zeros((h, w), dtype=bool)
+    for i in range(h):
+        snake[i, :] = True
+        if i + 1 < h:
+            snake[i + 1, w - 1 if i % 2 == 0 else 0] = True
+    labels = np.asarray(label_components(jnp.asarray(snake)))
+    lab_vals = labels[snake]
+    assert (lab_vals == lab_vals[0]).all(), "snake must be ONE component"
+
+    def flood_oracle(a):
+        seen = np.full(a.shape, -1, dtype=np.int32)
+        nxt = 0
+        for y in range(a.shape[0]):
+            for x in range(a.shape[1]):
+                if not a[y, x] or seen[y, x] >= 0:
+                    continue
+                stack = [(y, x)]
+                seen[y, x] = nxt
+                while stack:
+                    cy, cx = stack.pop()
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            ny, nx_ = cy + dy, cx + dx
+                            if (
+                                0 <= ny < a.shape[0]
+                                and 0 <= nx_ < a.shape[1]
+                                and a[ny, nx_]
+                                and seen[ny, nx_] < 0
+                            ):
+                                seen[ny, nx_] = nxt
+                                stack.append((ny, nx_))
+                nxt += 1
+        return seen
+
+    rng = np.random.default_rng(7)
+    # (14, 14) exercises the MXU transitive-closure path; (70, 70) the
+    # pointer-jump fallback (> 4096 cells).
+    cases = [((h, w), d) for d in (0.3, 0.5, 0.7, 0.9)]
+    cases += [((70, 70), d) for d in (0.5, 0.8)]
+    for shape, density in cases:
+        a = rng.random(shape) < density
+        got = np.asarray(label_components(jnp.asarray(a)))
+        want = flood_oracle(a)
+        # Same partition: labels agree iff oracle components agree.
+        for comp in range(want.max() + 1):
+            vals = got[want == comp]
+            assert (vals == vals[0]).all()
+        # Distinct components keep distinct labels.
+        reps = {}
+        for comp in range(want.max() + 1):
+            rep = got[want == comp][0]
+            assert rep not in reps.values()
+            reps[comp] = rep
