@@ -18,7 +18,7 @@ Everything batches over leading dims and jits with static shapes.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -163,6 +163,77 @@ def effective_levels(params: FlowParams, h: int, w: int) -> int:
         size //= 2
         levels += 1
     return levels
+
+
+class FrameCache(NamedTuple):
+    """Precomputed per-frame planes, reusable when the frame becomes the
+    PREVIOUS frame of the next flow step.
+
+    In a streaming pipeline frame t's ``i1`` is frame t-1's ``i2``: the
+    pyramid and the fused kernel's padded bf16 planes of a frame are pure
+    functions of that frame, so carrying them across steps makes the whole
+    i1 side of :func:`dense_flow_warm` free — at 1080p that is a full
+    pyramid build plus one padded-plane HBM pass per fused level
+    (~40% of the level-0 kernel's wall time was these XLA pre-passes +
+    DMA; see the stage=0 bisection in scripts/perf_lab.py).
+
+    ``pyr``: f32 pyramid, finest first (``pyr[0]`` IS the frame).
+    ``pads``: bf16 :func:`ofps_tpu.pallas.flow_refine.pad_image_kernel_layout`
+    planes for the fused inter-levels (fine-to-coarse order; empty on
+    XLA-path backends).
+    """
+
+    pyr: Tuple[jnp.ndarray, ...]
+    pads: Tuple[jnp.ndarray, ...]
+
+
+def _cached_pad_levels(params: FlowParams, h: int, w: int):
+    """Static list of pyramid levels whose padded plane is carried.
+
+    Fused levels only, excluding the coarsest (its ``coarse_flow`` mode —
+    and hence its block shape — depends on whether a warm start is given,
+    so it pads internally; at 1080p it is served by the small whole-image
+    kernel anyway).
+    """
+    levels = effective_levels(params, h, w)
+    out = []
+    hh, ww = h, w
+    for lvl in range(levels):
+        if hh * ww >= params.fuse_min_pixels and lvl != levels - 1:
+            out.append(lvl)
+        hh, ww = hh // 2, ww // 2
+    return out
+
+
+def frame_cache(img: jnp.ndarray, params: FlowParams = FlowParams()) -> FrameCache:
+    """Build the :class:`FrameCache` of a frame (see there).
+
+    ``img``: (..., H, W) float32 grayscale.  The fused-level padded planes
+    are built only when the fused Pallas path would run (TPU backend or
+    ``params.fused=True``).
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    levels = effective_levels(params, h, w)
+    pyr = build_pyramid(img, levels)
+    on_tpu = (
+        params.fused
+        if params.fused is not None
+        else jax.default_backend() == "tpu"
+    )
+    pads = ()
+    if on_tpu:
+        from ofps_tpu.pallas.flow_refine import (
+            pad_image_kernel_layout,
+            pick_blocks,
+        )
+
+        pads = tuple(
+            pad_image_kernel_layout(
+                pyr[lvl], *pick_blocks(*pyr[lvl].shape[-2:], coarse_flow=True)
+            )
+            for lvl in _cached_pad_levels(params, h, w)
+        )
+    return FrameCache(pyr=tuple(pyr), pads=pads)
 
 
 def _level_refine(
@@ -316,23 +387,55 @@ def _dense_flow_impl(
     i2: jnp.ndarray,
     params: FlowParams,
     init_uv=None,
+    prev_cache: Optional[FrameCache] = None,
+    want_cache: bool = False,
 ):
-    """Shared pyramid loop: returns (u, v, warm) with warm the level-1 flow.
+    """Shared pyramid loop: returns (u, v, warm, cache) with warm the
+    level-1 flow and cache the :class:`FrameCache` of ``i2`` (``None``
+    unless ``want_cache``).
 
     ``init_uv``: optional (u, v) warm-start pair at ANY resolution (it is
     resized to the coarsest level); bf16 accepted.  ``warm`` is the refined
     half-resolution flow — carrying it between frames gives the
     OPTFLOW_USE_INITIAL_FLOW warm start without a full-resolution
     read-back (the coarsest level can't see fine detail anyway).
+
+    ``prev_cache``: optional :class:`FrameCache` built from ``i1`` (i.e.
+    the previous step's ``i2`` cache) — skips the i1 pyramid build and the
+    fused levels' i1 pad passes; ``i1`` is then only consulted for shape.
     """
-    levels = effective_levels(params, i1.shape[-2], i1.shape[-1])
-    pyr1 = build_pyramid(i1, levels)
+    h0, w0 = i1.shape[-2], i1.shape[-1]
+    levels = effective_levels(params, h0, w0)
+    if prev_cache is not None:
+        pyr1 = list(prev_cache.pyr)
+        assert len(pyr1) == levels
+    else:
+        pyr1 = build_pyramid(i1, levels)
     pyr2 = build_pyramid(i2, levels)
     on_tpu = (
         params.fused
         if params.fused is not None
         else jax.default_backend() == "tpu"
     )
+    pad_levels = _cached_pad_levels(params, h0, w0) if on_tpu else []
+    pad_idx = {lvl: i for i, lvl in enumerate(pad_levels)}
+    cur_pads: dict = {}
+
+    def level_pads(lvl, a_prev, b_cur, h, w):
+        """(i1_pad, i2_pad) for a cached fused level; builds + records the
+        current frame's plane, reuses the previous frame's when given."""
+        from ofps_tpu.pallas.flow_refine import (
+            pad_image_kernel_layout,
+            pick_blocks,
+        )
+
+        bh, bw = pick_blocks(h, w, coarse_flow=True)
+        i2_pad = pad_image_kernel_layout(b_cur, bh, bw)
+        cur_pads[lvl] = i2_pad
+        i1_pad = None
+        if prev_cache is not None and prev_cache.pads:
+            i1_pad = prev_cache.pads[pad_idx[lvl]]
+        return i1_pad, i2_pad
 
     def level_search(lvl):
         if lvl == levels - 1:
@@ -410,15 +513,21 @@ def _dense_flow_impl(
             # small-kernel launch; a standalone XLA pass only after the big
             # blocked kernel (lvl 2 at 1080p).
             want_med = params.median_levels and lvl >= 2
+            if fused and coarse and lvl in pad_idx:
+                i1_pad_l, i2_pad_l = level_pads(lvl, a, b, h, w)
+            else:
+                i1_pad_l = i2_pad_l = None
 
             def refine_one(ui, vi, _a=a, _b=b, _s=search, _f=fused, _c=coarse,
-                           _h=h, _w=w, _dt=out_dtype, _med=want_med):
+                           _h=h, _w=w, _dt=out_dtype, _med=want_med,
+                           _p1=i1_pad_l, _p2=i2_pad_l):
                 if _f:
                     # Coarse flow feeds the kernel directly: the 2x upsample
                     # happens in VMEM (no standalone upsample pass).
                     return flow_refine_uv(
                         _a, _b, ui, vi, _s, params.win, coarse_flow=_c,
                         out_dtype=_dt, axis_sep=params.axis_sep,
+                        i1_pad=_p1, i2_pad=_p2,
                     )
                 if _c:
                     ui = resize_bilinear_matmul(ui.astype(jnp.float32), _h, _w) * 2.0
@@ -472,7 +581,13 @@ def _dense_flow_impl(
         # dense_flow() replicates at full res fused with its output cast,
         # the serving path replicates at grid res (both ~free), keeping an
         # extra full-res HBM pass (~0.3 ms at 1080p) off this hot path.
-        return u, v, warm_out
+        cache = None
+        if want_cache:
+            cache = FrameCache(
+                pyr=tuple(pyr2),
+                pads=tuple(cur_pads[lvl] for lvl in pad_levels),
+            )
+        return u, v, warm_out, cache
 
     flow = None
     if init_uv is not None:
@@ -534,7 +649,8 @@ def _dense_flow_impl(
             warm_out = (flow[..., 0], flow[..., 1])
 
     # Border band left in place — see the fused-path note above.
-    return flow[..., 0], flow[..., 1], warm_out
+    cache = FrameCache(pyr=tuple(pyr2), pads=()) if want_cache else None
+    return flow[..., 0], flow[..., 1], warm_out, cache
 
 
 def dense_flow(
@@ -552,7 +668,7 @@ def dense_flow(
     init_uv = None
     if init_flow is not None:
         init_uv = (init_flow[..., 0], init_flow[..., 1])
-    u, v, _ = _dense_flow_impl(i1, i2, params, init_uv)
+    u, v, _, _ = _dense_flow_impl(i1, i2, params, init_uv)
     # The outer band has no valid correspondence (auto_margin); replicate
     # the interior-nearest flow over it, fused with the f32 output cast.
     u, v = _replicate_border_uv(
@@ -569,6 +685,8 @@ def dense_flow_warm(
     i2: jnp.ndarray,
     params: FlowParams = FlowParams(),
     warm=None,
+    prev_cache: Optional[FrameCache] = None,
+    want_cache: bool = False,
 ):
     """Streaming-oriented dense flow with a cheap warm-start carry.
 
@@ -577,9 +695,65 @@ def dense_flow_warm(
     frame.  The split/bf16 carry avoids the full-res packed-layout
     round-trips of ``dense_flow(init_flow=...)`` (the trailing-dim-2 stack
     and the full-res re-read cost ~0.3 ms/frame at 1080p).
+
+    ``prev_cache`` / ``want_cache``: thread a :class:`FrameCache` across
+    steps (``want_cache=True`` appends it to the return tuple) so the i1
+    pyramid + fused-level pad passes are computed once per frame instead
+    of twice; :func:`dense_flow_stream` packages this pattern.
     """
-    u, v, warm_next = _dense_flow_impl(i1, i2, params, warm)
+    u, v, warm_next, cache = _dense_flow_impl(
+        i1, i2, params, warm, prev_cache, want_cache
+    )
+    if want_cache:
+        return (u, v), warm_next, cache
     return (u, v), warm_next
+
+
+class FlowStreamCarry(NamedTuple):
+    """Carry of :func:`dense_flow_stream`: warm (u, v) + previous frame."""
+
+    warm: Tuple[jnp.ndarray, jnp.ndarray]
+    cache: FrameCache
+
+
+def dense_flow_stream(
+    frame: jnp.ndarray,
+    params: FlowParams = FlowParams(),
+    carry: Optional[FlowStreamCarry] = None,
+):
+    """One-frame-in streaming dense flow (the video-pipeline pattern).
+
+    Returns ``((u, v), carry_next)`` where the flow is between the
+    PREVIOUS frame and ``frame`` (zeros on the first call).  Compared to
+    chaining :func:`dense_flow_warm` on (prev, cur) pairs, the carry keeps
+    the previous frame's pyramid and fused-kernel padded planes, so each
+    step pays the frame-side preprocessing once (~0.25 ms/frame of HBM
+    passes at 1080p).  Flow values are identical to the unchained form —
+    the cached planes are pure functions of the previous frame.
+    """
+    if carry is None:
+        cache = frame_cache(frame, params)
+        h, w = frame.shape[-2], frame.shape[-1]
+        if effective_levels(params, h, w) > 1:
+            wh, ww = (h + 1) // 2, (w + 1) // 2
+        else:
+            wh, ww = h, w
+        warm0 = (
+            jnp.zeros(frame.shape[:-2] + (wh, ww), jnp.float32),
+            jnp.zeros(frame.shape[:-2] + (wh, ww), jnp.float32),
+        )
+        zero = jnp.zeros(frame.shape, params.flow_dtype)
+        return (zero, zero), FlowStreamCarry(warm=warm0, cache=cache)
+    (u, v), warm, cache = dense_flow_warm(
+        carry.cache.pyr[0],
+        frame,
+        params,
+        warm=carry.warm,
+        prev_cache=carry.cache,
+        want_cache=True,
+    )
+    warm = tuple(x.astype(jnp.float32) for x in warm)
+    return (u, v), FlowStreamCarry(warm=warm, cache=cache)
 
 
 def flow_to_normalized(flow: jnp.ndarray) -> jnp.ndarray:

@@ -92,6 +92,7 @@ def _refine_kernel(
     out_dtype=jnp.float32,
     uv_dtype=jnp.float32,
     axis_sep=False,
+    i1_row_off=0,  # static row offset of the i1 tile DMA (i2-layout input)
     stage=99,  # debug: truncate the kernel after stage N (perf bisection)
 ):
     b = pl.program_id(0)
@@ -139,7 +140,9 @@ def _refine_kernel(
         jj = tt % gw_blocks
         out = [
             pltpu.make_async_copy(
-                i1_hbm.at[b, pl.ds(ii * bh, t1h), pl.ds(jj * bw, t1w)],
+                i1_hbm.at[
+                    b, pl.ds(ii * bh + i1_row_off, t1h), pl.ds(jj * bw, t1w)
+                ],
                 s1.at[slot],
                 sem1.at[slot],
             )
@@ -488,6 +491,55 @@ def _pick_block(n: int, candidates) -> int:
     return candidates[-1]
 
 
+def pick_blocks(h: int, w: int, coarse_flow: bool = False):
+    """Deterministic (bh, bw) choice for a level — shared by the kernel
+    launch and by :func:`pad_image_kernel_layout` so a padded plane built
+    for frame t's i2 is byte-compatible as frame t+1's i1."""
+    bh = _pick_block(h, (128, 64, 32, 16, 8))
+    # FULL-WIDTH blocks when they fit VMEM: the i1/i2 tiles carry
+    # 2*_COL_PAD + alignment slack of padding per block row, so fewer,
+    # wider blocks cut DMA bytes (1080p L0: 871 -> 664 us/frame at
+    # bw=1920 vs 768) and per-block grid overhead.  2176 columns keeps
+    # the double-buffered tiles + candidate costs comfortably inside
+    # the 64 MB budget; wider images fall back to tiling.
+    full = w + ((-w) % 128)
+    if full <= 2176:
+        bw = full
+    else:
+        bw = _pick_block(w, (768, 640, 512, 384, 256, 128))
+    if coarse_flow:
+        bh = max(bh, 16)  # bh // 2 must stay 8-row aligned for coarse DMAs
+    return bh, bw
+
+
+def pad_image_kernel_layout(img: jnp.ndarray, bh: int, bw: int) -> jnp.ndarray:
+    """Pad an (..., H, W) image into the kernel's wide i2 layout, bf16.
+
+    Rows get ``_ROW_PAD`` of edge padding top+bottom (absorbs block-mean
+    flow offsets), columns ``_COL_PAD`` left + 128-aligned right.  The i1
+    tile reads the SAME layout at a static ``_ROW_PAD - 8`` row offset, so
+    one padded plane serves as frame t's i2 and frame t+1's i1 — in a
+    streaming pipeline the pad pass (a full HBM read+write of the frame)
+    happens once per frame instead of twice.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    ph = (-h) % bh
+    pw = (-w) % bw
+    x = img.astype(jnp.bfloat16)
+    if ph or pw:
+        pads = [(0, 0)] * (x.ndim - 2) + [(0, ph), (0, pw)]
+        x = jnp.pad(x, pads, mode="edge")
+    hp, wp = h + ph, w + pw
+    x = x.reshape((-1, hp, wp))
+    w2p = wp + 2 * _COL_PAD
+    w2p += (-w2p) % 128
+    return jnp.pad(
+        x,
+        [(0, 0), (_ROW_PAD, _ROW_PAD), (_COL_PAD, w2p - wp - _COL_PAD)],
+        mode="edge",
+    )
+
+
 def flow_refine_uv(
     i1: jnp.ndarray,
     i2: jnp.ndarray,
@@ -502,6 +554,8 @@ def flow_refine_uv(
     img_dtype=jnp.float32,
     out_dtype=jnp.float32,
     axis_sep: bool = False,
+    i1_pad: jnp.ndarray | None = None,
+    i2_pad: jnp.ndarray | None = None,
     stage: int = 99,
 ):
     """Fused warp + refine of one pyramid level on split flow components.
@@ -513,39 +567,31 @@ def flow_refine_uv(
     ``(u, v)``.  The split representation avoids the trailing-dim-2
     stack/split relayouts that dominated the packed-flow wrapper.  Pads H/W
     up to block multiples internally (edge mode) and slices back.
+
+    ``i1_pad`` / ``i2_pad``: optional pre-padded bf16 planes in the layout
+    of :func:`pad_image_kernel_layout` (must have been built with the same
+    (bh, bw) — :func:`pick_blocks`).  A streaming caller passes frame t-1's
+    ``i2_pad`` as frame t's ``i1_pad``, skipping the full-frame pad pass
+    (HBM read+write) and the f32->bf16 convert for the i1 side entirely.
+    When ``i1_pad`` is given, ``i1`` is only consulted for shape/dtype.
     """
     r = win // 2
     h, w = i1.shape[-2], i1.shape[-1]
-    if not bh:
-        bh = _pick_block(h, (128, 64, 32, 16, 8))
-    if not bw:
-        # FULL-WIDTH blocks when they fit VMEM: the i1/i2 tiles carry
-        # 2*_COL_PAD + alignment slack of padding per block row, so fewer,
-        # wider blocks cut DMA bytes (1080p L0: 871 -> 664 us/frame at
-        # bw=1920 vs 768) and per-block grid overhead.  2176 columns keeps
-        # the double-buffered tiles + candidate costs comfortably inside
-        # the 64 MB budget; wider images fall back to tiling.
-        full = w + ((-w) % 128)
-        if full <= 2176:
-            bw = full
-        else:
-            bw = _pick_block(w, (768, 640, 512, 384, 256, 128))
-    if coarse_flow:
-        bh = max(bh, 16)  # bh // 2 must stay 8-row aligned for coarse DMAs
+    abh, abw = pick_blocks(h, w, coarse_flow)
+    bh = bh or abh
+    bw = bw or abw
     ph = (-h) % bh
     pw = (-w) % bw
     batch = i1.shape[:-2]
+    nb = 1
+    for d in batch:
+        nb *= int(d)
 
     def pad2(x):
         pads = [(0, 0)] * (x.ndim - 2) + [(0, ph), (0, pw)]
         return jnp.pad(x, pads, mode="edge") if (ph or pw) else x
 
-    # Images stored bf16 in HBM: halves the tile-DMA bytes; all in-kernel
-    # math upcasts to img_dtype (pixel quantization <0.5/255).
-    i1p = pad2(i1.astype(jnp.bfloat16)).reshape((-1, h + ph, w + pw))
-    i2p = pad2(i2.astype(jnp.bfloat16)).reshape((-1, h + ph, w + pw))
     hp, wp = h + ph, w + pw
-    nb = i1p.shape[0]
     gh_blocks = hp // bh
     gw_blocks = wp // bw
 
@@ -602,23 +648,34 @@ def flow_refine_uv(
         )
         wcp = hcp = tch = tcw = 0
 
-    # i1: 8 rows / 128 cols of edge padding so static block DMAs stay aligned
-    # and in bounds; right pad to a 128 multiple.
-    w1p = wp + 2 * _COL_PAD
-    w1p += (-w1p) % 128
-    i1pad = jnp.pad(
-        i1p, [(0, 0), (8, 8), (_COL_PAD, w1p - wp - _COL_PAD)], mode="edge"
-    )
-
-    # i2: wide padding for flow-mean offsets.
     w2p = wp + 2 * _COL_PAD
     w2p += (-w2p) % 128
-    i2pad = jnp.pad(
-        i2p,
-        [(0, 0), (_ROW_PAD, _ROW_PAD), (_COL_PAD, w2p - wp - _COL_PAD)],
-        mode="edge",
-    )
     h2p = hp + 2 * _ROW_PAD
+
+    # Images stored bf16 in HBM: halves the tile-DMA bytes; all in-kernel
+    # math upcasts to img_dtype (pixel quantization <0.5/255).
+    if i1_pad is not None:
+        # Pre-padded wide (i2) layout from the previous frame: the i1 tile
+        # reads at a static _ROW_PAD - 8 row offset instead of a fresh
+        # 8-row-pad plane.
+        i1pad = i1_pad
+        i1_row_off = _ROW_PAD - 8
+        assert i1pad.shape == (nb, h2p, w2p), (i1pad.shape, (nb, h2p, w2p))
+    else:
+        # i1: 8 rows / 128 cols of edge padding so static block DMAs stay
+        # aligned and in bounds; right pad to a 128 multiple.
+        i1p = pad2(i1.astype(jnp.bfloat16)).reshape((-1, hp, wp))
+        i1pad = jnp.pad(
+            i1p, [(0, 0), (8, 8), (_COL_PAD, w2p - wp - _COL_PAD)], mode="edge"
+        )
+        i1_row_off = 0
+
+    if i2_pad is not None:
+        i2pad = i2_pad
+        assert i2pad.shape == (nb, h2p, w2p), (i2pad.shape, (nb, h2p, w2p))
+    else:
+        # i2: wide padding for flow-mean offsets.
+        i2pad = pad_image_kernel_layout(i2, bh, bw)
 
     t2h = bh + 2 * (_PAD + r + search) + 8
     t2h += (-t2h) % 8
@@ -643,6 +700,7 @@ def flow_refine_uv(
         out_dtype=out_dtype,
         uv_dtype=u.dtype,
         axis_sep=axis_sep and search == 1,
+        i1_row_off=i1_row_off,
         stage=stage,
         up=coarse_flow,
         wcp=wcp,

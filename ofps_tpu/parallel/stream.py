@@ -40,10 +40,12 @@ from ofps_tpu.detectors.base import DetectionResult, DetectorInstance
 from ofps_tpu.estimators.base import EstimatorInstance
 from ofps_tpu.ops.flow_pyramid import (
     FlowParams,
+    FrameCache,
     _replicate_border_uv,
     border_margin_px,
     dense_flow_warm,
     effective_levels,
+    frame_cache,
 )
 from ofps_tpu.parallel.sharding import StreamSharding, constrain
 
@@ -51,7 +53,13 @@ from ofps_tpu.parallel.sharding import StreamSharding, constrain
 class StreamState(NamedTuple):
     """Per-stream carried state for a batch of B streams."""
 
-    prev_gray: jnp.ndarray  # (B, H, W) previous grayscale frame
+    # Previous-frame cache (ops.flow_pyramid.FrameCache): the pyramid plus
+    # the fused kernel's padded bf16 planes.  ``prev_cache.pyr[0]`` IS the
+    # previous grayscale frame; the rest are pure functions of it, carried
+    # so each frame's preprocessing (pyramid build + pad passes, ~0.25 ms
+    # of HBM traffic at 1080p) happens once — when it arrives as the NEW
+    # frame — instead of being recomputed as the next step's i1 side.
+    prev_cache: Any
     # Dense-flow warm start: the refined HALF-resolution (u, v) planes from
     # the previous frame (OPTFLOW_USE_INITIAL_FLOW semantics at 1/8 the
     # carry bytes of full-res packed flow; the coarsest pyramid level sees
@@ -143,6 +151,24 @@ class StreamPipeline:
 
     # -- state ---------------------------------------------------------------
 
+    def _make_cache(self, gray: jnp.ndarray):
+        """FrameCache of ``gray`` for the state carry.
+
+        The spatially-sharded path runs its own per-shard halo-exchanged
+        pipeline (parallel/spatial.py) and only needs the raw frame, so it
+        carries a pads-free single-level cache.
+        """
+        if self._spatially_sharded():
+            return FrameCache(pyr=(gray,), pads=())
+        return frame_cache(gray, self.flow_params)
+
+    def state_with_frame(self, state: StreamState, gray: jnp.ndarray):
+        """State as if ``gray`` were the last processed frame (priming)."""
+        return state._replace(
+            prev_cache=self._make_cache(gray),
+            has_prev=jnp.ones_like(state.has_prev),
+        )
+
     def init_state(self, batch: int, height: int, width: int) -> StreamState:
         e = len(self.estimators)
         if effective_levels(self.flow_params, height, width) > 1:
@@ -150,7 +176,9 @@ class StreamPipeline:
         else:
             wh, ww = height, width  # single-level pyramid: warm is full res
         return StreamState(
-            prev_gray=jnp.zeros((batch, height, width), jnp.float32),
+            prev_cache=self._make_cache(
+                jnp.zeros((batch, height, width), jnp.float32)
+            ),
             warm_uv=(
                 jnp.zeros((batch, wh, ww), jnp.float32),
                 jnp.zeros((batch, wh, ww), jnp.float32),
@@ -249,13 +277,28 @@ class StreamPipeline:
 
             mesh, stream_ax, space_ax = space
             (u, v), warm = dense_flow_warm_spatial(
-                state.prev_gray, gray, self.flow_params, state.warm_uv,
-                mesh, stream_axis=stream_ax, space_axis=space_ax,
+                state.prev_cache.pyr[0], gray, self.flow_params,
+                state.warm_uv, mesh, stream_axis=stream_ax,
+                space_axis=space_ax,
             )
-        else:
+            new_cache = self._make_cache(gray)
+        elif self._spatially_sharded():
+            # Width-sharded but explicitly fused=False (plain GSPMD XLA
+            # path): the state carries the raw-frame-only cache.
             (u, v), warm = dense_flow_warm(
-                state.prev_gray, gray, self.flow_params, warm=state.warm_uv
+                state.prev_cache.pyr[0], gray, self.flow_params,
+                warm=state.warm_uv,
             )
+            new_cache = self._make_cache(gray)
+        else:
+            (u, v), warm, new_cache = dense_flow_warm(
+                state.prev_cache.pyr[0], gray, self.flow_params,
+                warm=state.warm_uv, prev_cache=state.prev_cache,
+                want_cache=True,
+            )
+        new_cache = jax.tree_util.tree_map(
+            lambda x: constrain(x, self.shard.image), new_cache
+        )
         hp = state.has_prev[:, None, None]
         u = u * hp.astype(u.dtype)
         v = v * hp.astype(v.dtype)
@@ -285,7 +328,7 @@ class StreamPipeline:
             state, sparse, key, props=props
         )
         new_state = StreamState(
-            prev_gray=gray,
+            prev_cache=new_cache,
             warm_uv=warm,
             has_prev=jnp.ones_like(state.has_prev),
             rot=rot,

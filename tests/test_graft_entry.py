@@ -44,7 +44,8 @@ def test_entry_dispatches_no_device_ops():
         "from __graft_entry__ import entry; "
         "fn, (state, gray, key) = entry(); "
         "import numpy as np; "
-        "assert type(state.prev_gray) is np.ndarray, type(state.prev_gray); "
+        "assert type(state.prev_cache.pyr[0]) is np.ndarray, "
+        "type(state.prev_cache.pyr[0]); "
         "assert type(gray) is np.ndarray and type(key) is np.ndarray; "
         "print('OK')" % REPO
     )

@@ -78,7 +78,7 @@ def test_step_from_frames_recovers_translation():
     pipe = _pipeline()
     f0, f1 = _translate_frames(b, h, w, shift=2)
     state = pipe.init_state(b, h, w)
-    state = state._replace(prev_gray=f0, has_prev=jnp.ones((b,)))
+    state = pipe.state_with_frame(state, f0)
     step = jax.jit(pipe.step_from_frames)
     state, out = step(state, f1, jax.random.PRNGKey(0))
     flow = np.asarray(out.flow)
@@ -128,19 +128,18 @@ def _run_sharded_step(flow_params=None):
     key = jax.random.PRNGKey(5)
 
     plain = _pipeline()
-    st = plain.init_state(b, h, w)._replace(
-        prev_gray=f0, has_prev=jnp.ones((b,))
-    )
+    st = plain.state_with_frame(plain.init_state(b, h, w), f0)
     _, out_plain = jax.jit(plain.step_from_frames)(st, f1, key)
 
     sharded = _pipeline(shardings=shard)
     if flow_params is not None:
         sharded.flow_params = flow_params
-    st2 = sharded.init_state(b, h, w)._replace(
-        prev_gray=jax.device_put(f0, shard.image), has_prev=jnp.ones((b,))
-    )
+    st2 = sharded.state_with_frame(sharded.init_state(b, h, w), f0)
     st2 = st2._replace(
-        warm_uv=tuple(jax.device_put(x, shard.image) for x in st2.warm_uv)
+        prev_cache=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, shard.image), st2.prev_cache
+        ),
+        warm_uv=tuple(jax.device_put(x, shard.image) for x in st2.warm_uv),
     )
     with mesh:
         _, out_sharded = jax.jit(sharded.step_from_frames)(
