@@ -37,6 +37,27 @@ from ofps_tpu.ops.flow_pyramid import (
 BASELINE_FPS = 1000.0 / 45.679  # reference OpenCV dense flow, demo.md:85
 
 
+def _step_checksum(out) -> jnp.ndarray:
+    """Scalar consuming EVERY pipeline output.
+
+    Honesty-critical: XLA's while-loop simplifier strips dead carry/output
+    elements, so any stage whose outputs the benchmark does not consume is
+    dead-code-eliminated from the loop entirely.  Round 4 caught exactly
+    this: a rot[0]-only checksum silently reduced the "full pipeline"
+    numbers to flow+densify+almeida — adding the homography estimator cost
+    1.5 us/frame because it never ran.  Every estimator's pose and the
+    detector verdicts must feed the returned scalar.
+    """
+    s = jnp.float32(0)
+    for r in out.rot:
+        s += jnp.sum(r)
+    for p in out.pos:
+        s += jnp.sum(p)
+    if out.detection is not None:
+        s += jnp.sum(out.detection.detected.astype(jnp.float32))
+    return s
+
+
 def build_pipeline_runner(
     batch: int, h: int, w: int, iters: int,
     estimators=("almeida", "homography"),
@@ -69,10 +90,10 @@ def build_pipeline_runner(
         def body(carry, k):
             st, acc = carry
             st, out = pipe.step_from_frames(st, gray, k)
-            return (st, acc + jnp.sum(out.rot[0])), ()
+            return (st, acc + _step_checksum(out)), ()
 
         (st, acc), _ = jax.lax.scan(
-            body, (st, jnp.sum(out.rot[0])), keys
+            body, (st, _step_checksum(out)), keys
         )
         return acc
 

@@ -214,7 +214,13 @@ def main():
         st, k = c
         k, sub = jax.random.split(k)
         st, out = pipe.step_from_frames(st, i2, sub)
-        return (st, k), jnp.sum(out.rot[0])
+        # Consume EVERY output: unconsumed stages get DCE'd out of the
+        # while loop by XLA's loop simplifier (see bench._step_checksum).
+        s = sum(jnp.sum(r) for r in out.rot) + sum(
+            jnp.sum(p) for p in out.pos
+        )
+        s = s + jnp.sum(out.detection.detected.astype(jnp.float32))
+        return (st, k), s
 
     stage("step", step_fn, (st0, jax.random.PRNGKey(3)))
 
