@@ -111,7 +111,7 @@ def _solve_ypr_planes(camera, px, py, mu, mv, w, reduce_axis):
     )
 
     def body(i, rotation):
-        alpha = jnp.where(i == _LSQ_ITERS - 1, 1.0, ALPHA)
+        alpha = 1.0 if i == _LSQ_ITERS - 1 else ALPHA
         du, dv = delta_planes(camera, px, py, qmat(rotation))
         vu = mu - du
         vv = mv - dv
@@ -131,7 +131,13 @@ def _solve_ypr_planes(camera, px, py, mu, mv, w, reduce_axis):
         rot = qmul(pitch, qmul(roll, yaw))
         return qmul(rotation, rot)
 
-    rotation = jax.lax.fori_loop(0, _LSQ_ITERS, body, qident_like(a[0]))
+    # UNROLLED (round 4): the loop body is a handful of tiny fusions on
+    # (3, H)/(S,) planes, so the while-loop's per-iteration overhead was
+    # most of the stage cost; a static 30-step unroll lets XLA fuse across
+    # iterations (identical math — alpha's last-step switch is static).
+    rotation = qident_like(a[0])
+    for i in range(_LSQ_ITERS):
+        rotation = body(i, rotation)
     # We estimated how points rotate, not how the camera rotates (lib.rs:199).
     return qconj(rotation)
 
@@ -201,11 +207,20 @@ def solve_ypr_ransac(
     # scoring (the same subset, so the same counts and winner).
     ev_w = uniform_cap_weights(mask, num_samples)
     n_eval = min(num_samples, n)
-    rank = ev_w * 2.0 - jnp.arange(n, dtype=jnp.float32) / n
-    _, eidx = jax.lax.top_k(rank, n_eval)
+    # Compact the subset to the front via searchsorted on its cumulative
+    # count (same trick as robust_fit's eval_cap): identical subset to the
+    # rank-sort top_k this replaces, at log(N) gathers instead of a
+    # full (N,) sort.  Past-the-end queries clamp; their weight is zeroed.
+    cw = jnp.cumsum((ev_w > 0.5).astype(jnp.int32))
+    eidx = jnp.minimum(
+        jnp.searchsorted(
+            cw, jnp.arange(1, n_eval + 1, dtype=jnp.int32), side="left"
+        ),
+        n - 1,
+    ).astype(jnp.int32)
+    w_e = jnp.where(jnp.arange(n_eval) < cw[-1], ev_w[eidx], 0.0)
     pxe, pye = pos[eidx, 0], pos[eidx, 1]  # (S,)
     mue, mve = motion[eidx, 0], motion[eidx, 1]
-    w_e = ev_w[eidx]
 
     # Score all hypotheses at once on (H, S) planes: rotation components are
     # (H, 1) columns broadcast against the (S,) point planes.

@@ -88,8 +88,10 @@ def estimate_homography_rotation(
 
     # Sign disambiguation before decomposition: require x2n . (Hn x1n) > 0
     # on the consensus set (positive-depth convention).
+    from ofps_tpu.ops.solve import inv3x3
+
     k = camera.intrinsics()
-    kinv = jnp.linalg.inv(k)
+    kinv = inv3x3(k)
     # Compute (K^-1 h2) . (K^-1 H h1) per point.
     kinv_h = jnp.matmul(kinv, h, precision="highest")
     a = jnp.einsum("ij,nj->ni", kinv_h, homogeneous(p1), precision="highest")

@@ -64,7 +64,9 @@ class MultiviewParams(NamedTuple):
 
 
 def _normalized_coords(camera: StandardCamera, p: jnp.ndarray) -> jnp.ndarray:
-    kinv = jnp.linalg.inv(camera.intrinsics())
+    from ofps_tpu.ops.solve import inv3x3
+
+    kinv = inv3x3(camera.intrinsics())
     # precision="highest": TPU default matmul is bf16 — fatal for the
     # normalized coordinates every epipolar solve consumes.
     h = jnp.einsum(

@@ -293,7 +293,9 @@ def motion_from_essential_and_correspondence(
     Parity: libmv ``motion_from_essential_and_correspondence``
     (libmv-rust/libmv-c.cpp:69-101 surface).  ``x1``/``x2``: (2,) screen pts.
     """
-    kinv = jnp.linalg.inv(k)
+    from ofps_tpu.ops.solve import inv3x3
+
+    kinv = inv3x3(k)
     h1 = _mm(kinv, homogeneous(x1))
     h2 = _mm(kinv, homogeneous(x2))
     x1n = h1[:2] / h1[2]

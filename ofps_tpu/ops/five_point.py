@@ -162,15 +162,21 @@ def _det10(m):
 
 
 def _poly_eval_homog(coefs, s, c):
-    """P(s, c) = sum_i a_i s^i c^(10-i) — stable evaluation of p(tan θ)."""
+    """P(s, c) = sum_i a_i s^i c^(10-i) — stable evaluation of p(tan θ).
+
+    Powers are built by cumulative multiplication (one mul per degree), not
+    ``c ** k`` — the pow lowers to exp/log transcendentals, 11 of them per
+    evaluation, and this sits inside the bisection loop.
+    """
     deg = coefs.shape[-1] - 1
-    acc = jnp.zeros(jnp.broadcast_shapes(s.shape, coefs.shape[:-1] + s.shape[-1:]))
-    sp = jnp.ones_like(s)
-    # Horner-like: accumulate a_i s^i c^(deg-i) via running powers.
-    for i in range(deg + 1):
-        cp = c ** (deg - i)
-        acc = acc + coefs[..., i, None] * sp * cp
-        sp = sp * s
+    sp = [jnp.ones_like(s)]
+    cp = [jnp.ones_like(c)]
+    for _ in range(deg):
+        sp.append(sp[-1] * s)
+        cp.append(cp[-1] * c)
+    acc = coefs[..., 0, None] * cp[deg]
+    for i in range(1, deg + 1):
+        acc = acc + coefs[..., i, None] * sp[i] * cp[deg - i]
     return acc
 
 
@@ -193,32 +199,52 @@ def five_point_essential(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray):
     # The w=1 chart degenerates when the true solution has a tiny E4
     # coordinate (x, y, z blow up); solve a second chart with the basis
     # mixed by a fixed orthogonal 4x4 (Hadamard/2) whose degeneracy set is
-    # disjoint, and pool the candidates.
-    es_a, valid_a = _solve_chart(basis)
-    es_b, valid_b = _solve_chart(_mm(_HADAMARD4, basis.reshape(4, 9)).reshape(4, 3, 3))
+    # disjoint, and pool the candidates.  Both charts run as ONE batched
+    # _solve_chart call: the per-chart op chain is tiny sequential fusions
+    # (launch-bound on TPU), so stacking halves the kernel count for the
+    # same arithmetic.
+    charts = jnp.stack(
+        [basis, _mm(_HADAMARD4, basis.reshape(4, 9)).reshape(4, 3, 3)]
+    )  # (2, 4, 3, 3)
+    es, valid = _solve_chart(charts)
+    nroots = es.shape[-3]
     return (
-        jnp.concatenate([es_a, es_b], axis=0),
-        jnp.concatenate([valid_a, valid_b], axis=0),
+        es.reshape((2 * nroots, 3, 3)),
+        valid.reshape((2 * nroots,)),
     )
 
 
 def _solve_chart(basis):
-    """All essential candidates of one E4-normalized chart of the null space."""
+    """All essential candidates per chart of the null space, batched.
+
+    ``basis``: (..., 4, 3, 3) — any leading batch dims (the caller stacks
+    the two charts; robust_fit's vmap adds the hypothesis dim).  Returns
+    ``(es (..., R, 3, 3), valid (..., R))`` with R = _MAX_ROOTS +
+    _EXTRA_SEEDS.
+    """
+    batch = basis.shape[:-3]
+    bb = basis[..., None, :, :, :]  # broadcast slot for the z/node axis
+
     # --- degree-10 polynomial det M(z) by interpolation ------------------
-    mz = _coeff_matrix(basis[None], jnp.broadcast_to(_ZNJ, (11,)))  # (11,10,10)
-    dets = _det10(mz)  # (11,)
-    scale = jnp.maximum(jnp.max(jnp.abs(dets)), 1e-30)
-    coefs = _mm(_VAND_INV, (dets / scale)[:, None])[:, 0]  # (11,)
+    zn = jnp.broadcast_to(_ZNJ, batch + (11,))
+    mz = _coeff_matrix(bb, zn)  # (..., 11, 10, 10)
+    dets = _det10(mz)  # (..., 11)
+    scale = jnp.maximum(jnp.max(jnp.abs(dets), axis=-1), 1e-30)[..., None]
+    coefs = jnp.einsum(
+        "ij,...j->...i", _VAND_INV, dets / scale, precision="highest"
+    )  # (..., 11)
 
     # --- real roots: sign scan over tan-angle + bisection ----------------
     theta = jnp.linspace(-np.pi / 2 * 0.999, np.pi / 2 * 0.999, _N_GRID)
-    pv = _poly_eval_homog(coefs, jnp.sin(theta), jnp.cos(theta))
+    pv = _poly_eval_homog(coefs, jnp.sin(theta), jnp.cos(theta))  # (..., G)
     sgn = jnp.sign(pv)
-    change = (sgn[:-1] * sgn[1:]) < 0.0  # (_N_GRID-1,)
+    change = (sgn[..., :-1] * sgn[..., 1:]) < 0.0  # (..., G-1)
     # Up to _MAX_ROOTS bracketed intervals, earliest first.
-    score = change.astype(jnp.float32) * 2.0 - jnp.arange(_N_GRID - 1) / _N_GRID
-    _, idx = jax.lax.top_k(score, _MAX_ROOTS)
-    bracketed = change[idx]
+    score = change.astype(jnp.float32) * 2.0 - jnp.arange(
+        _N_GRID - 1, dtype=jnp.float32
+    ) / _N_GRID
+    _, idx = jax.lax.top_k(score, _MAX_ROOTS)  # (..., R0)
+    bracketed = jnp.take_along_axis(change, idx, axis=-1)
     lo = theta[idx]
     hi = theta[idx + 1]
     flo = _poly_eval_homog(coefs, jnp.sin(lo), jnp.cos(lo))
@@ -229,34 +255,35 @@ def _solve_chart(basis):
         lo = jnp.where(same, mid, lo)
         flo = jnp.where(same, fmid, flo)
         hi = jnp.where(same, hi, mid)
-    z = jnp.tan(0.5 * (lo + hi))  # (_MAX_ROOTS,)
+    z = jnp.tan(0.5 * (lo + hi))  # (..., R0)
 
     # Tangent (double) roots produce NO sign change: seed extra candidates
     # at the deepest local minima of |P| and let Newton + the residual gate
     # below sort the real ones from the fakes.
     absp = jnp.abs(pv)
-    locmin = (absp[1:-1] <= absp[:-2]) & (absp[1:-1] <= absp[2:])
-    mscore = jnp.where(locmin, -absp[1:-1], -jnp.inf)
+    locmin = (absp[..., 1:-1] <= absp[..., :-2]) & (
+        absp[..., 1:-1] <= absp[..., 2:]
+    )
+    mscore = jnp.where(locmin, -absp[..., 1:-1], -jnp.inf)
     _, midx = jax.lax.top_k(mscore, _EXTRA_SEEDS)
-    z = jnp.concatenate([z, jnp.tan(theta[midx + 1])])
+    z = jnp.concatenate([z, jnp.tan(theta[midx + 1])], axis=-1)
     bracketed = jnp.concatenate(
-        [bracketed, jnp.ones((_EXTRA_SEEDS,), bool)]
+        [bracketed, jnp.ones(batch + (_EXTRA_SEEDS,), bool)], axis=-1
     )
 
     # Newton polish on det M(z) itself (the exact function, so the
-    # interpolation conditioning error cancels).  Forward differences: the
-    # batched determinant evaluations dominate the whole solver, and 2
-    # evals/iteration x 3 polishes to the same accuracy as the original
-    # central-difference x4 at half the cost.  (An analytic interpolant
-    # derivative is cheaper still but extrapolates catastrophically for
-    # roots outside the Chebyshev node range.)
+    # interpolation conditioning error cancels).  The two evaluations per
+    # iteration (z and z+h) run as ONE batched determinant call — the
+    # sequential det chains dominate the solver's critical path.
     def detz(zz):
-        return _det10(_coeff_matrix(basis[None], zz)) / scale
+        return _det10(_coeff_matrix(bb, zz)) / scale
 
+    nr = z.shape[-1]
     for _ in range(3):
         h = 1e-3 * (1.0 + jnp.abs(z))
-        f0 = detz(z)
-        fp = (detz(z + h) - f0) / h
+        both = detz(jnp.concatenate([z, z + h], axis=-1))
+        f0 = both[..., :nr]
+        fp = (both[..., nr:] - f0) / h
         step = f0 / jnp.where(jnp.abs(fp) > 1e-20, fp, 1e-20)
         z = z - jnp.clip(step, -0.1 * (1.0 + jnp.abs(z)), 0.1 * (1.0 + jnp.abs(z)))
 
@@ -264,23 +291,24 @@ def _solve_chart(basis):
     valid = bracketed & (jnp.abs(detz(z)) < 1e-3)
 
     # --- (x, y) from the null vector of M(z*) ----------------------------
-    mzs = _coeff_matrix(basis[None], z)  # (_MAX_ROOTS, 10, 10)
+    mzs = _coeff_matrix(bb, z)  # (..., R, 10, 10)
     mtm = _mm(jnp.swapaxes(mzs, -1, -2), mzs)
-    v = smallest_eigvecs_inverse_iteration(mtm, k=1, iters=4)[..., 0]  # (R, 10)
+    v = smallest_eigvecs_inverse_iteration(mtm, k=1, iters=4)[..., 0]
     denom = v[..., _IDX_1]
     ok_denom = jnp.abs(denom) > 1e-12
     safe = jnp.where(ok_denom, denom, 1.0)
     x = v[..., _IDX_X] / safe
     y = v[..., _IDX_Y] / safe
 
+    e1, e2, e3, e4 = (basis[..., k, None, :, :] for k in range(4))
     es = (
-        x[:, None, None] * basis[0]
-        + y[:, None, None] * basis[1]
-        + z[:, None, None] * basis[2]
-        + basis[3]
+        x[..., None, None] * e1
+        + y[..., None, None] * e2
+        + z[..., None, None] * e3
+        + e4
     )
     es = project_to_essential(es)
     norm = jnp.sqrt(jnp.sum(es * es, axis=(-2, -1)))
-    es = es / jnp.maximum(norm, 1e-20)[:, None, None]
+    es = es / jnp.maximum(norm, 1e-20)[..., None, None]
     valid = valid & ok_denom & jnp.all(jnp.isfinite(es), axis=(-2, -1))
     return es, valid

@@ -48,7 +48,11 @@ def dlt_homography(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndar
 
     vecs = smallest_eigvecs_inverse_iteration(ata, 1)
     h = vecs[:, 0].reshape(3, 3)
-    h = _mm(_mm(jnp.linalg.inv(t2), h), t1)
+    from ofps_tpu.ops.solve import inv3x3
+
+    # inv3x3: jnp.linalg.inv's LU path is sequential while-loop code —
+    # needlessly slow for the well-conditioned similarity transform.
+    h = _mm(_mm(inv3x3(t2), h), t1)
     # Normalize so h22 ~ 1 where possible (sign/scale canonicalization).
     scale = jnp.where(jnp.abs(h[2, 2]) > 1e-12, h[2, 2], jnp.linalg.norm(h))
     return h / scale
@@ -135,9 +139,9 @@ def decompose_homography(h: jnp.ndarray, k: jnp.ndarray):
     share R, and the reference only consumes R of the min-||t|| solution
     (homography-estimator/src/lib.rs:136-146), so two families suffice.
     """
-    from ofps_tpu.ops.solve import eigh3x3, svd3x3
+    from ofps_tpu.ops.solve import eigh3x3, inv3x3, svd3x3
 
-    hn = _mm(_mm(jnp.linalg.inv(k), h), k)
+    hn = _mm(_mm(inv3x3(k), h), k)
     # Scale so the middle singular value is 1.
     _, s, _ = svd3x3(hn)
     hn = hn / s[1]

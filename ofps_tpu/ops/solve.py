@@ -53,6 +53,46 @@ def gauss_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return aug[..., n:]
 
 
+def gauss_inverse(a: jnp.ndarray) -> jnp.ndarray:
+    """Batched unpivoted Gauss-Jordan inverse of (..., n, n).
+
+    Same elimination as :func:`gauss_solve` with an identity RHS.  One
+    n-step elimination buys an explicit inverse that turns every LATER
+    solve against the same matrix into a single matmul — that is what
+    keeps :func:`smallest_eigvecs_inverse_iteration`'s sequential kernel
+    chain short on TPU (tiny sequential fusions are launch-bound there).
+    """
+    n = a.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+    return gauss_solve(a, eye)
+
+
+def inv3x3(a: jnp.ndarray, fallback: float = 0.0) -> jnp.ndarray:
+    """Analytic (adjugate/det) inverse of (..., 3, 3).
+
+    ``jnp.linalg.inv`` lowers to LU + triangular solves — sequential
+    while-loop code that costs far more than this one fused elementwise
+    formula for the well-conditioned 3x3s the geometry layers invert
+    (intrinsics, Hartley similarity transforms).  Singular input returns
+    ``fallback`` (matching :func:`solve3x3` semantics).
+    """
+    cof = jnp.stack(
+        [
+            jnp.cross(a[..., 1, :], a[..., 2, :]),
+            jnp.cross(a[..., 2, :], a[..., 0, :]),
+            jnp.cross(a[..., 0, :], a[..., 1, :]),
+        ],
+        axis=-1,
+    )  # columns: inv(A) * det
+    det = jnp.sum(a[..., 0, :] * cof[..., :, 0], axis=-1)
+    safe = jnp.abs(det) > 1e-30
+    return jnp.where(
+        safe[..., None, None],
+        cof / jnp.where(safe, det, 1.0)[..., None, None],
+        fallback,
+    )
+
+
 def smallest_eigvecs_inverse_iteration(
     ata: jnp.ndarray, k: int = 1, iters: int = 3, eps_rel: float = 1e-7
 ) -> jnp.ndarray:
@@ -74,8 +114,16 @@ def smallest_eigvecs_inverse_iteration(
         1.0, n * k + 1.0, dtype=ata.dtype
     ).reshape(n, k)
     v = jnp.broadcast_to(v0, ata.shape[:-2] + (n, k))
+    # ONE explicit Gauss-Jordan inverse, then each iteration is a single
+    # matmul: the per-iteration elimination this replaces was an n-step
+    # sequential chain of tiny fusions — launch-bound on TPU, ~3x the
+    # kernel count for the same arithmetic (round-4 homography-stage
+    # bisection: the batched minimal DLTs spent ~600 us/frame here).
+    inv = gauss_inverse(shifted)
     for _ in range(iters):
-        v = gauss_solve(shifted, v)
+        v = jnp.einsum(
+            "...ij,...jk->...ik", inv, v, precision="highest"
+        )
         # Gram-Schmidt (k is 1 or 2 in practice).
         cols = []
         for j in range(k):
