@@ -40,7 +40,10 @@ import jax
 import jax.numpy as jnp
 
 from ofps_tpu.ops.epipolar import _epipolar_rows, project_to_essential
-from ofps_tpu.ops.solve import smallest_eigvecs_inverse_iteration
+from ofps_tpu.ops.solve import (
+    gauss_solve,
+    smallest_eigvecs_inverse_iteration,
+)
 
 _mm = partial(jnp.matmul, precision="highest")
 
@@ -71,15 +74,41 @@ _VT_INV = np.asarray(np.linalg.inv(_monomials10(_PX, _PY)), np.float32)
 _PXJ = np.asarray(_PX, np.float32)
 _PYJ = np.asarray(_PY, np.float32)
 
-# 11 Chebyshev interpolation nodes for the degree-10 det polynomial, and the
-# inverse Vandermonde mapping det values -> monomial coefficients (float64).
-_ZN = np.cos((2.0 * np.arange(11) + 1.0) / 22.0 * np.pi) * 1.25
-_VAND_INV = np.asarray(
-    np.linalg.inv(np.vander(_ZN, 11, increasing=True)), np.float32
-)
-_ZNJ = np.asarray(_ZN, np.float32)
+# --- homogeneous (tan-angle) interpolation of the degree-10 det polynomial.
+#
+# det M(z) restricted to z = tan(θ) and homogenized, P(θ) = cos¹⁰θ·det M(tanθ),
+# is a π-periodic trig polynomial spanned EXACTLY by the 11 even harmonics
+# {1, cos2θ, sin2θ, ..., cos10θ, sin10θ}.  Sampling at 11 equispaced θ over
+# one period makes the interpolation DFT-like (condition ~1, float64-checked
+# below) and P evaluable STABLY at any θ — including the |z| >> 1 roots where
+# a z-domain Vandermonde interpolant extrapolates catastrophically.  That
+# stability is what lets Newton polish run on the interpolant itself instead
+# of re-evaluating batched 10x10 determinants per iteration (the determinant
+# tensors were ~half the 5-point solver's wall time).
+_TH = ((2.0 * np.arange(11) + 1.0) / 22.0 - 0.5) * np.pi  # open (-π/2, π/2)
+
+
+def _trig_basis_np(theta):
+    cols = [np.ones_like(theta)]
+    for h in (2, 4, 6, 8, 10):
+        cols += [np.cos(h * theta), np.sin(h * theta)]
+    return np.stack(cols, axis=-1)  # (..., 11)
+
+
+_TRIG_INV = np.asarray(np.linalg.inv(_trig_basis_np(_TH)), np.float32)
+_TAN_N = np.asarray(np.tan(_TH), np.float32)
+# Determinants are taken of cos²θ·M(tanθ): the cos² keeps the edge-node
+# entries bounded (no f32 pivot-product overflow at |z| ~ 14), and
+# det(cos²M) = cos²⁰·det M, so P = det(cos²M)/cos¹⁰.
+_COS2_N = np.asarray(np.cos(_TH) ** 2, np.float32)
+_COS10_N = np.asarray(np.cos(_TH) ** 10, np.float32)
 
 _N_GRID = 512  # tan-angle sign-scan resolution
+_GRID_TH = np.linspace(
+    -np.pi / 2 * 0.999, np.pi / 2 * 0.999, _N_GRID
+)
+_GRID_B = np.asarray(_trig_basis_np(_GRID_TH), np.float32)  # (G, 11)
+_GRID_THJ = np.asarray(_GRID_TH, np.float32)
 _HADAMARD4 = np.asarray(
     0.5
     * np.array(
@@ -161,22 +190,29 @@ def _det10(m):
     return det
 
 
-def _poly_eval_homog(coefs, s, c):
-    """P(s, c) = sum_i a_i s^i c^(10-i) — stable evaluation of p(tan θ).
+def _trig_eval(coefs, theta, want_grad=False):
+    """P(θ) (and optionally dP/dθ) in the even-harmonic basis.
 
-    Powers are built by cumulative multiplication (one mul per degree), not
-    ``c ** k`` — the pow lowers to exp/log transcendentals, 11 of them per
-    evaluation, and this sits inside the bisection loop.
+    ``coefs``: (..., 11) over [1, cos2θ, sin2θ, ..., cos10θ, sin10θ];
+    ``theta``: (..., R) sharing the leading batch dims.  Harmonics come
+    from the double-angle recurrence — ~4 muls each, no transcendental
+    beyond the first cos/sin pair.
     """
-    deg = coefs.shape[-1] - 1
-    sp = [jnp.ones_like(s)]
-    cp = [jnp.ones_like(c)]
-    for _ in range(deg):
-        sp.append(sp[-1] * s)
-        cp.append(cp[-1] * c)
-    acc = coefs[..., 0, None] * cp[deg]
-    for i in range(1, deg + 1):
-        acc = acc + coefs[..., i, None] * sp[i] * cp[deg - i]
+    c2 = jnp.cos(2.0 * theta)
+    s2 = jnp.sin(2.0 * theta)
+    acc = jnp.broadcast_to(coefs[..., 0, None], theta.shape)
+    grad = jnp.zeros_like(theta) if want_grad else None
+    ck, sk = c2, s2
+    for i in range(1, 6):
+        ac = coefs[..., 2 * i - 1, None]
+        as_ = coefs[..., 2 * i, None]
+        acc = acc + ac * ck + as_ * sk
+        if want_grad:
+            grad = grad + 2.0 * i * (as_ * ck - ac * sk)
+        if i < 5:
+            ck, sk = ck * c2 - sk * s2, sk * c2 + ck * s2
+    if want_grad:
+        return acc, grad
     return acc
 
 
@@ -225,18 +261,19 @@ def _solve_chart(basis):
     batch = basis.shape[:-3]
     bb = basis[..., None, :, :, :]  # broadcast slot for the z/node axis
 
-    # --- degree-10 polynomial det M(z) by interpolation ------------------
-    zn = jnp.broadcast_to(_ZNJ, batch + (11,))
-    mz = _coeff_matrix(bb, zn)  # (..., 11, 10, 10)
-    dets = _det10(mz)  # (..., 11)
-    scale = jnp.maximum(jnp.max(jnp.abs(dets), axis=-1), 1e-30)[..., None]
+    # --- P(θ) = cos¹⁰θ·det M(tanθ) by trig interpolation (see constants) --
+    zn = jnp.broadcast_to(_TAN_N, batch + (11,))
+    mz = _coeff_matrix(bb, zn) * _COS2_N[:, None, None]
+    p = _det10(mz) / _COS10_N  # (..., 11)
+    scale = jnp.maximum(jnp.max(jnp.abs(p), axis=-1), 1e-30)[..., None]
     coefs = jnp.einsum(
-        "ij,...j->...i", _VAND_INV, dets / scale, precision="highest"
+        "ij,...j->...i", _TRIG_INV, p / scale, precision="highest"
     )  # (..., 11)
 
-    # --- real roots: sign scan over tan-angle + bisection ----------------
-    theta = jnp.linspace(-np.pi / 2 * 0.999, np.pi / 2 * 0.999, _N_GRID)
-    pv = _poly_eval_homog(coefs, jnp.sin(theta), jnp.cos(theta))  # (..., G)
+    # --- real roots: sign scan over θ + bisection on P --------------------
+    pv = jnp.einsum(
+        "gk,...k->...g", _GRID_B, coefs, precision="highest"
+    )  # (..., G)
     sgn = jnp.sign(pv)
     change = (sgn[..., :-1] * sgn[..., 1:]) < 0.0  # (..., G-1)
     # Up to _MAX_ROOTS bracketed intervals, earliest first.
@@ -245,17 +282,18 @@ def _solve_chart(basis):
     ) / _N_GRID
     _, idx = jax.lax.top_k(score, _MAX_ROOTS)  # (..., R0)
     bracketed = jnp.take_along_axis(change, idx, axis=-1)
-    lo = theta[idx]
-    hi = theta[idx + 1]
-    flo = _poly_eval_homog(coefs, jnp.sin(lo), jnp.cos(lo))
-    for _ in range(30):
+    grid_th = jnp.asarray(_GRID_THJ)
+    lo = grid_th[idx]
+    hi = grid_th[idx + 1]
+    flo = _trig_eval(coefs, lo)
+    for _ in range(20):
         mid = 0.5 * (lo + hi)
-        fmid = _poly_eval_homog(coefs, jnp.sin(mid), jnp.cos(mid))
+        fmid = _trig_eval(coefs, mid)
         same = jnp.sign(fmid) == jnp.sign(flo)
         lo = jnp.where(same, mid, lo)
         flo = jnp.where(same, fmid, flo)
         hi = jnp.where(same, hi, mid)
-    z = jnp.tan(0.5 * (lo + hi))  # (..., R0)
+    th = 0.5 * (lo + hi)  # (..., R0)
 
     # Tangent (double) roots produce NO sign change: seed extra candidates
     # at the deepest local minima of |P| and let Newton + the residual gate
@@ -266,39 +304,49 @@ def _solve_chart(basis):
     )
     mscore = jnp.where(locmin, -absp[..., 1:-1], -jnp.inf)
     _, midx = jax.lax.top_k(mscore, _EXTRA_SEEDS)
-    z = jnp.concatenate([z, jnp.tan(theta[midx + 1])], axis=-1)
+    th = jnp.concatenate([th, grid_th[midx + 1]], axis=-1)
     bracketed = jnp.concatenate(
         [bracketed, jnp.ones(batch + (_EXTRA_SEEDS,), bool)], axis=-1
     )
 
-    # Newton polish on det M(z) itself (the exact function, so the
-    # interpolation conditioning error cancels).  The two evaluations per
-    # iteration (z and z+h) run as ONE batched determinant call — the
-    # sequential det chains dominate the solver's critical path.
-    def detz(zz):
-        return _det10(_coeff_matrix(bb, zz)) / scale
-
-    nr = z.shape[-1]
+    # Newton polish on P itself with its analytic derivative — pure
+    # elementwise work.  (The previous design re-evaluated batched 10x10
+    # determinants per iteration to cancel the z-Vandermonde interpolant's
+    # extrapolation error; the trig interpolant is well-conditioned over
+    # the WHOLE circle, so polishing on it is both stable and ~300x
+    # cheaper.  HBM measurement: the determinant Newton was 14.4 of the
+    # solver's 29 ms.)
     for _ in range(3):
-        h = 1e-3 * (1.0 + jnp.abs(z))
-        both = detz(jnp.concatenate([z, z + h], axis=-1))
-        f0 = both[..., :nr]
-        fp = (both[..., nr:] - f0) / h
+        f0, fp = _trig_eval(coefs, th, want_grad=True)
         step = f0 / jnp.where(jnp.abs(fp) > 1e-20, fp, 1e-20)
-        z = z - jnp.clip(step, -0.1 * (1.0 + jnp.abs(z)), 0.1 * (1.0 + jnp.abs(z)))
+        th = th - jnp.clip(step, -0.02, 0.02)
 
-    # Residual gate: genuine roots have |det M(z)| ~ 0 after polishing.
-    valid = bracketed & (jnp.abs(detz(z)) < 1e-3)
+    # Residual gate: genuine roots have |P(θ)| ~ 0 after polishing.
+    valid = bracketed & (jnp.abs(_trig_eval(coefs, th)) < 1e-3)
+    z = jnp.tan(th)
 
     # --- (x, y) from the null vector of M(z*) ----------------------------
-    mzs = _coeff_matrix(bb, z)  # (..., R, 10, 10)
-    mtm = _mm(jnp.swapaxes(mzs, -1, -2), mzs)
-    v = smallest_eigvecs_inverse_iteration(mtm, k=1, iters=4)[..., 0]
-    denom = v[..., _IDX_1]
-    ok_denom = jnp.abs(denom) > 1e-12
-    safe = jnp.where(ok_denom, denom, 1.0)
-    x = v[..., _IDX_X] / safe
-    y = v[..., _IDX_Y] / safe
+    # cos²-scaled M (same null space, bounded entries at |z| >> 1); fixing
+    # the trailing "1"-monomial coordinate to 1 turns the rank-9 null-vector
+    # problem into a 10x9 least squares, solved via its 9x9 normal
+    # equations — one Gauss solve instead of a 10x10 inverse iteration.
+    # The fixed chart degenerates exactly where the old v[_IDX_1]-divide
+    # did (true null vector with tiny "1" component -> the OTHER basis
+    # chart covers it); non-finite solves are gated below.
+    cs2 = (jnp.cos(th) ** 2)[..., None, None]
+    mzs = _coeff_matrix(bb, z) * cs2  # (..., R, 10, 10)
+    a9 = mzs[..., :, :_IDX_1]  # (..., R, 10, 9)
+    b9 = -mzs[..., :, _IDX_1]  # (..., R, 10)
+    ata = _mm(jnp.swapaxes(a9, -1, -2), a9)
+    tr = jnp.trace(ata, axis1=-2, axis2=-1)[..., None, None]
+    ata = ata + (1e-10 * tr) * jnp.eye(9, dtype=ata.dtype)
+    atb = jnp.einsum("...ij,...i->...j", a9, b9, precision="highest")
+    v9 = gauss_solve(ata, atb[..., None])[..., 0]  # (..., R, 9)
+    x = v9[..., _IDX_X]
+    y = v9[..., _IDX_Y]
+    ok_denom = jnp.all(jnp.isfinite(v9), axis=-1) & (
+        jnp.maximum(jnp.abs(x), jnp.abs(y)) < 1e6
+    )
 
     e1, e2, e3, e4 = (basis[..., k, None, :, :] for k in range(4))
     es = (
