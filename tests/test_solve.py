@@ -84,3 +84,54 @@ def test_solve3x3_singular_fallback():
     a = jnp.zeros((3, 3))
     b = jnp.ones((3,))
     np.testing.assert_allclose(np.asarray(solve3x3(a, b, fallback=0.0)), 0.0)
+
+
+def test_gauss_inverse(rng):
+    from ofps_tpu.ops.solve import gauss_inverse
+
+    a = rng.normal(size=(64, 9, 9)).astype(np.float32)
+    a = a @ a.transpose(0, 2, 1) + 0.1 * np.eye(9, dtype=np.float32)
+    inv = np.asarray(gauss_inverse(jnp.asarray(a)))
+    eye = np.broadcast_to(np.eye(9, dtype=np.float32), a.shape)
+    np.testing.assert_allclose(inv @ a, eye, atol=2e-3)
+
+
+def test_inv3x3_matches_numpy_and_falls_back(rng):
+    from ofps_tpu.ops.solve import inv3x3
+
+    a = rng.normal(size=(128, 3, 3)).astype(np.float32)
+    a = a + np.sign(np.linalg.det(a))[:, None, None] * np.eye(
+        3, dtype=np.float32
+    )
+    inv = np.asarray(inv3x3(jnp.asarray(a)))
+    np.testing.assert_allclose(inv, np.linalg.inv(a), rtol=2e-3, atol=2e-4)
+    # Singular input -> fallback, not inf/nan.
+    np.testing.assert_allclose(
+        np.asarray(inv3x3(jnp.zeros((3, 3)), fallback=0.0)), 0.0
+    )
+
+
+def test_five_point_trig_interpolation_exact():
+    """The even-harmonic node system reproduces P(θ) exactly for a known
+    degree-10 homogeneous form (the interpolation identity behind the
+    5-point root finder)."""
+    from ofps_tpu.ops.five_point import (
+        _TH,
+        _TRIG_INV,
+        _trig_basis_np,
+    )
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=11)  # coefficients over s^i c^(10-i)
+
+    def p_of(theta):
+        s, c = np.sin(theta), np.cos(theta)
+        return sum(a[i] * s**i * c ** (10 - i) for i in range(11))
+
+    vals = p_of(_TH)
+    coefs = _TRIG_INV.astype(np.float64) @ vals
+    probe = np.linspace(-np.pi / 2, np.pi / 2, 257)
+    recon = _trig_basis_np(probe) @ coefs
+    np.testing.assert_allclose(recon, p_of(probe), rtol=2e-4, atol=2e-5)
+    # Conditioning of the node system stays DFT-class.
+    assert np.linalg.cond(_trig_basis_np(_TH)) < 10.0
