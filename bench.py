@@ -175,18 +175,66 @@ def main() -> None:
 
     b, h, w = args.batch, args.height, args.width
 
-    # Fail FAST if the device backend is unreachable: the axon tunnel can
-    # hang in a way that blocks backend init forever (no exception), which
-    # would otherwise stall the whole bench run silently.  A tiny probe op
-    # on a watchdog thread converts that into a clean rc=1 with a message.
+    # Fail CLEANLY — but not fast — if the device backend is unreachable.
+    # The axon tunnel goes down intermittently and can hang backend init
+    # forever (no exception); round 4 lost its entire perf evidence to a
+    # single 180-s probe that happened to land inside such an outage.  A
+    # hung in-process init can never recover (jax backend init is
+    # once-per-process), so each retry MUST be a fresh subprocess; only
+    # once a subprocess probe succeeds do we touch the backend here.
+    _PROBE_SRC = (
+        # device_get, NOT block_until_ready: the latter does not block
+        # through the tunnel transport (CLAUDE.md), so an execution-side
+        # hang would pass a block_until_ready probe.
+        "import jax, jax.numpy as jnp;"
+        "print(float(jax.device_get(jnp.ones((8, 8)).sum())))"
+    )
+
+    def _wait_for_device(budget_s: float = 780.0) -> bool:
+        import subprocess
+
+        deadline = time.time() + budget_s
+        attempt = 0
+        while time.time() < deadline:
+            attempt += 1
+            per_try = min(150.0, max(30.0, deadline - time.time()))
+            try:
+                rc = subprocess.run(
+                    [sys.executable, "-c", _PROBE_SRC],
+                    timeout=per_try,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                ).returncode
+            except subprocess.TimeoutExpired:
+                rc = -1
+            if rc == 0:
+                return True
+            print(
+                f"bench: device probe attempt {attempt} failed "
+                f"(rc={rc}); tunnel likely down, retrying...",
+                file=sys.stderr,
+            )
+            sys.stderr.flush()
+            time.sleep(min(60.0, 15.0 * attempt))
+        return False
+
+    if not _wait_for_device():
+        print(
+            "bench: device backend unreachable (subprocess probes failed "
+            "for ~13 min) — the TPU tunnel is down; no measurement taken",
+            file=sys.stderr,
+        )
+        sys.stderr.flush()
+        os._exit(1)  # plain exit could hang in jax atexit syncs
+
+    # The tunnel answered a fresh process; arm a generous in-process
+    # watchdog in case it drops again between the probe and our init.
     import threading
 
     probe_ok = threading.Event()
 
     def _probe():
-        # device_get, NOT block_until_ready: the latter does not block
-        # through the tunnel transport (CLAUDE.md), so an execution-side
-        # hang would pass a block_until_ready probe.
         float(jax.device_get(jnp.ones((8, 8)).sum()))
         probe_ok.set()
 
@@ -195,12 +243,12 @@ def main() -> None:
     th.join(180.0)
     if not probe_ok.is_set():
         print(
-            "bench: device backend unreachable (probe op did not complete "
-            "in 180 s) — the TPU tunnel is down; no measurement taken",
+            "bench: backend init hung after a successful subprocess probe "
+            "— tunnel dropped mid-run; no measurement taken",
             file=sys.stderr,
         )
         sys.stderr.flush()
-        os._exit(1)  # plain exit could hang in jax atexit syncs
+        os._exit(1)
 
     params = FlowParams()
     key = jax.random.PRNGKey(0)
