@@ -51,6 +51,10 @@ class LibmvParams(NamedTuple):
     num_hypotheses: int = 512
     desired_confidence: float = 0.999
     eval_cap: int = 2048
+    # Progressive hypothesis scoring (ops/robust.py): pre-score all 1536
+    # candidate F on 128 points, full eval_cap only for the finalists.
+    prescore_cap: int = 128
+    finalists: int = 32
     # LMedS-sigma floor on the RANSAC cut (see ops.robust.robust_fit):
     # max_error=1e-4 screen units assumes pixel-accurate points; codec MVs
     # sit ~an order above that, where fixed-cut consensus counting breaks.
@@ -202,6 +206,8 @@ def _robust_fundamental(key, params: LibmvParams, x1, x2, w, max_error=None):
         use_lmeds=False,
         eval_cap=params.eval_cap,
         adaptive_threshold=params.adaptive_threshold,
+        prescore_cap=params.prescore_cap,
+        finalists=params.finalists,
         # LO refit: libmv's robust 7-point keeps the raw minimal-sample F
         # (libmv-c.cpp:9-38); a least-squares refit over the consensus set
         # strictly improves it, so the TPU build adds one.

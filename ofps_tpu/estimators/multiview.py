@@ -53,6 +53,11 @@ class MultiviewParams(NamedTuple):
     outlier_proba: float = 0.5
     use_five_point: bool = True
     eval_cap: int = 2048
+    # Progressive hypothesis scoring (ops/robust.py): the Sampson sweep
+    # over (hyps x 28 candidate E) x eval_cap points is the stage's
+    # dominant HBM traffic; pre-score on 128 points, re-score finalists.
+    prescore_cap: int = 128
+    finalists: int = 32
     # Rotation-only (Kabsch) fallback for the epipolar-degenerate
     # near-pure-rotation regime; see estimate_essential_rotation.
     rotation_fallback: bool = True
@@ -119,6 +124,8 @@ def estimate_essential_rotation(
         use_lmeds=not params.use_ransac,
         eval_cap=params.eval_cap,
         adaptive_threshold=params.adaptive_threshold,
+        prescore_cap=params.prescore_cap,
+        finalists=params.finalists,
         refit_fn=lambda a, b, ww: project_to_essential(
             eight_point_fundamental(a, b, ww)
         ),

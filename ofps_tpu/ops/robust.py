@@ -146,6 +146,8 @@ def robust_fit(
     adaptive_threshold: bool = False,
     refit_fn: Callable | None = None,
     lo_iters: int = 2,
+    prescore_cap: int = 0,
+    finalists: int = 32,
 ) -> RobustResult:
     """``eval_cap > 0`` scores hypotheses on a spatially uniform subset of
     at most that many valid points (gathered once — H x cap work instead of
@@ -153,6 +155,20 @@ def robust_fit(
     reference bounds its CPU cost the same way with random 1000-point
     subsets (almeida lib.rs:226-232); a deterministic uniform subset is
     unbiased and gather-free per hypothesis.
+
+    ``prescore_cap > 0`` adds PROGRESSIVE evaluation on top: every candidate
+    model is first scored on a strided ``prescore_cap``-point subsample of
+    the eval subset, only the ``finalists`` best pre-scores are re-scored on
+    the full eval subset, and the winner comes from that final round.  The
+    hypothesis-scoring stage is the multiview estimator's dominant cost
+    (XLA cost analysis: 650 of 989 MFLOP and 901 MB of 1.6 GB accessed per
+    frame go to the (6104 models x 2048 pts) Sampson sweep); a 128-point
+    pre-score cuts it ~16x while a 32-finalist full round keeps the
+    selection exact for any model whose subset score lands in the top 32 —
+    on real consensus distributions the true winner's margin is far larger
+    than subset noise.  PROSAC/preemptive-RANSAC make the same trade on a
+    per-iteration schedule; a single two-round split is the batched (SPMD)
+    shape of that idea.
 
     ``adaptive_threshold`` (RANSAC mode): raise the scoring/inlier cut to the
     LMedS robust-sigma cut (OpenCV's 2.5-sigma rule on the best hypothesis's
@@ -200,11 +216,49 @@ def robust_fit(
     else:
         x1e, x2e, we = x1, x2, w
 
-    errs = error_fn(models, x1e, x2e)  # (HM, S)
     # ``threshold`` may be a traced scalar (runtime-mutable max_error).
     thr2 = jnp.square(jnp.asarray(threshold, jnp.float32))
     nvalid = jnp.maximum(jnp.sum(we), sample_size + 1.0)
     sigma_k = 2.5 * 1.4826 * (1.0 + 5.0 / (nvalid - sample_size))
+    adaptive_pending = adaptive_threshold
+
+    if prescore_cap and finalists < hm and prescore_cap < x1e.shape[0]:
+        # Progressive round 1: strided subsample of the (already spatially
+        # uniform, raster-ordered) eval subset stays spatially uniform.
+        stride = x1e.shape[0] // prescore_cap
+        pidx = jnp.arange(prescore_cap, dtype=jnp.int32) * stride
+        x1p, x2p, wp = x1e[pidx], x2e[pidx], we[pidx]
+        errs_p = error_fn(models, x1p, x2p)  # (HM, P)
+        if use_lmeds:
+            pre = -jnp.where(
+                valid, _masked_median(errs_p, wp), jnp.float32(1e30)
+            )
+        else:
+            if adaptive_threshold:
+                # The noise-floor estimate moves to the pre-subset: the
+                # LMedS statistic is a distribution median, for which a
+                # 128-point spatially uniform sample is an unbiased
+                # estimator — and it must be computed over ALL hypotheses
+                # anyway (it is a min over them), so it cannot wait for
+                # the finalist round.
+                med_p = _masked_median(errs_p, wp)
+                med_best = jnp.min(
+                    jnp.where(valid, med_p, jnp.float32(1e30))
+                )
+                thr2 = jnp.maximum(
+                    thr2, jnp.square(sigma_k) * jnp.maximum(med_best, 0.0)
+                )
+                adaptive_pending = False
+            pre = jnp.where(
+                valid,
+                jnp.sum((errs_p <= thr2) & (wp > 0.5)[None, :], axis=-1),
+                -1,
+            ).astype(jnp.float32)
+        _, fidx = jax.lax.top_k(pre, finalists)
+        models = models[fidx]
+        valid = valid[fidx]
+
+    errs = error_fn(models, x1e, x2e)  # (HM or finalists, S)
 
     if use_lmeds:
         med = _masked_median(errs, we)  # (HM,)
@@ -217,7 +271,7 @@ def robust_fit(
         inliers = (best_err <= cut) & (w > 0.5)
         final_score = score[best]
     else:
-        if adaptive_threshold:
+        if adaptive_pending:
             # Noise floor from the data itself: the minimum (over valid
             # hypotheses) median error is the LMedS statistic; its 2.5-sigma
             # cut bounds the inlier band an accurate model needs.
