@@ -11,20 +11,25 @@ batched linear algebra with static shapes:
 1. The 4-dim null space of the 5x9 epipolar design matrix gives
    ``E(x, y, z) = x E1 + y E2 + z E3 + E4`` (scale fixed on the E4 axis).
 2. The 10 cubic constraints (``det E = 0`` and the trace constraint
-   ``2 E Eᵀ E - tr(E Eᵀ) E = 0``) are polynomials in (x, y) of total degree
-   3 once z is fixed — exactly 10 bivariate monomials.  Their coefficients
-   are extracted **numerically**: evaluate the constraint vector at 10
-   fixed (x, y) probe points and multiply by a precomputed inverse monomial
-   matrix (no symbolic expansion at all).
-3. A nontrivial (x, y) solution requires ``det M(z) = 0`` where M(z) is the
-   10x10 coefficient matrix: a degree-10 polynomial in z (Nistér's).  Its
-   coefficients come from **determinant interpolation** at 11 Chebyshev
-   nodes (batched Gauss elimination with partial pivoting, no LAPACK).
-4. Real roots via sign changes of the homogenized polynomial on a tan-angle
-   grid + fixed-count bisection, then Newton polish directly on
-   ``det M(z)`` (kills the interpolation conditioning error).
-5. For each root, (x, y) is the null vector of M(z*) (inverse iteration),
-   read off the linear monomials.
+   ``2 E Eᵀ E - tr(E Eᵀ) E = 0``) are polynomials in (x, y, z) of total
+   degree 3 — exactly 20 trivariate monomials.  Their coefficient matrix C
+   (10 x 20) is extracted **numerically**: evaluate the constraint vector
+   at 20 fixed (x, y, z) probe points and multiply by a precomputed inverse
+   monomial matrix (cond 10.5, float64-precomputed; no symbolic expansion).
+3. Nistér's elimination, batched: Gauss-Jordan with partial pivoting
+   expresses the 10 leading monomials (the x/y-degree >= 2 ones) over the
+   trailing 10 ([x, y, 1] x z-powers).  Differencing the ``x²z/x²``,
+   ``y²z/y²`` and ``xyz/xy`` row pairs against z times each other yields a
+   **3x3 polynomial matrix B(z)** (degrees <= 4) with ``B(z)·[x, y, 1]ᵀ=0``
+   — so ``det B(z) = 0`` is the same degree-10 polynomial as the hidden-
+   variable resultant ``det M(z)``, at 3x3-determinant cost instead of the
+   former 11-node batched 10x10 Gauss eliminations (which dominated the
+   whole estimator: 892 of the stage's HBM-traffic MB in the r4 profile).
+4. ``P(θ) = cos¹⁰θ · det B(tanθ)`` sampled at 11 equispaced tan-angle nodes
+   gives the even-harmonic trig interpolant; real roots via sign changes on
+   a θ grid + fixed-count bisection + Newton polish on the interpolant.
+5. For each root, (x, y) solves the 3x2 system ``B(z*)[:, :2]·[x, y] =
+   -B(z*)[:, 2]`` by its 2x2 normal equations (was: 10x9 least squares).
 
 Everything vmaps over RANSAC hypotheses; up to 10 candidate E per sample,
 matching :func:`ofps_tpu.ops.robust.robust_fit`'s multi-model convention.
@@ -41,38 +46,59 @@ import jax.numpy as jnp
 
 from ofps_tpu.ops.epipolar import _epipolar_rows, project_to_essential
 from ofps_tpu.ops.solve import (
-    gauss_solve,
+    det3,
+    gauss_solve_pivoted,
     smallest_eigvecs_inverse_iteration,
 )
 
 _mm = partial(jnp.matmul, precision="highest")
 
-# Bivariate monomial basis for fixed z: B10(x, y).
-# Order: [x^3, x^2 y, x y^2, y^3, x^2, x y, y^2, x, y, 1]
-_IDX_X, _IDX_Y, _IDX_1 = 7, 8, 9
+# Trivariate monomial basis of total degree <= 3 (20 monomials), split as
+# Nistér's elimination needs it:
+#   eliminated (first 10): x^3, y^3, x^2 y, x y^2, x^2 z, x^2, y^2 z, y^2,
+#                          x y z, x y
+#   kept (last 10):        x z^2, x z, x, y z^2, y z, y, z^3, z^2, z, 1
+# The kept block factors as [x, y, 1] x {z-powers}, which is what lets the
+# reduced rows assemble into the 3x3 polynomial matrix B(z).
 
 
-def _monomials10(x, y):
+def _monomials20(x, y, z):
+    one = np.ones_like(x)
     return np.stack(
-        [x**3, x**2 * y, x * y**2, y**3, x**2, x * y, y**2, x, y, np.ones_like(x)],
+        [
+            x**3, y**3, x**2 * y, x * y**2, x**2 * z, x**2, y**2 * z,
+            y**2, x * y * z, x * y,
+            x * z**2, x * z, x, y * z**2, y * z, y, z**3, z**2, z, one,
+        ],
         axis=0,
-    )
+    )  # (20, npts)
 
 
-def _probe_points():
-    """10 (x, y) probe points with a well-conditioned monomial matrix."""
-    ang = np.arange(10) * (2.0 * np.pi / 10.0) + 0.35
-    rad = np.where(np.arange(10) % 2 == 0, 0.75, 1.35)
-    return rad * np.cos(ang), rad * np.sin(ang)
-
-
-_PX, _PY = _probe_points()
-# c_j(x_i, y_i) = (M @ Vt)[j, i] with Vt[k, i] = B10_k(x_i, y_i)
-# => M = C @ inv(Vt).  Precomputed in float64 (cond ~ 60).
-# Host (numpy) constants: module import must not dispatch device ops.
-_VT_INV = np.asarray(np.linalg.inv(_monomials10(_PX, _PY)), np.float32)
-_PXJ = np.asarray(_PX, np.float32)
-_PYJ = np.asarray(_PY, np.float32)
+# 20 (x, y, z) probe points found by random search + local refinement
+# (float64, fixed seed offline): cond(V20) = 10.5, so the numeric
+# coefficient extraction loses ~1 f32 digit.  Host (numpy) constants:
+# module import must not dispatch device ops.
+_P20 = np.array(
+    [
+        [-0.32762963, 0.80959387, 0.58612268, 0.36886925, -0.52225745,
+         1.55036472, 0.60530217, -0.74912229, 0.64348662, -0.06436296,
+         -0.20600484, 1.03263808, -0.80564053, -0.95859189, -1.08927787,
+         -1.29945443, -0.05803361, 0.94307901, -0.83606385, -0.07729247],
+        [-1.29930121, -0.85250692, 1.37247137, 0.57841958, 1.06650513,
+         -0.77947526, 1.05330674, 1.27162516, -0.70786724, -0.44475738,
+         -0.50372016, 0.07134761, 0.59043603, -1.39250342, 0.1881813,
+         -0.68484683, 0.47519423, -0.17462412, 0.41217525, -0.62379822],
+        [-0.12656579, -0.48921231, 1.14796693, 0.82383632, 0.85405468,
+         -0.36732824, 0.10478399, -0.74018601, 0.96931083, 1.34876192,
+         0.39251301, -0.39815935, -0.25767543, 0.85929289, 0.70142349,
+         -0.12976881, -0.91062743, -1.41849298, -1.24034761, -1.02775763],
+    ],
+    np.float64,
+)
+_V20_INV = np.asarray(np.linalg.inv(_monomials20(*_P20)), np.float32)
+_P20XJ = np.asarray(_P20[0], np.float32)
+_P20YJ = np.asarray(_P20[1], np.float32)
+_P20ZJ = np.asarray(_P20[2], np.float32)
 
 # --- homogeneous (tan-angle) interpolation of the degree-10 det polynomial.
 #
@@ -96,12 +122,18 @@ def _trig_basis_np(theta):
 
 
 _TRIG_INV = np.asarray(np.linalg.inv(_trig_basis_np(_TH)), np.float32)
-_TAN_N = np.asarray(np.tan(_TH), np.float32)
-# Determinants are taken of cos²θ·M(tanθ): the cos² keeps the edge-node
-# entries bounded (no f32 pivot-product overflow at |z| ~ 14), and
-# det(cos²M) = cos²⁰·det M, so P = det(cos²M)/cos¹⁰.
+# B(z)'s entries (degree <= 4 in z) are evaluated at the nodes in
+# HOMOGENIZED form: B̃ᵢⱼ(θ) = cos⁴θ·Bᵢⱼ(tanθ) = Σₖ bₖ sinᵏθ cos⁴⁻ᵏθ — the
+# monomial weights below keep the edge-node entries bounded (no f32 blowup
+# at |z| ~ 14).  det B̃ = cos¹²·det B, so P = cos¹⁰·det B = det B̃ / cos².
+_SC4_N = np.asarray(
+    np.stack(
+        [np.sin(_TH) ** k * np.cos(_TH) ** (4 - k) for k in range(5)],
+        axis=-1,
+    ),
+    np.float32,
+)  # (11 nodes, 5 z-coefs)
 _COS2_N = np.asarray(np.cos(_TH) ** 2, np.float32)
-_COS10_N = np.asarray(np.cos(_TH) ** 10, np.float32)
 
 _N_GRID = 512  # tan-angle sign-scan resolution
 _GRID_TH = np.linspace(
@@ -139,55 +171,62 @@ def _constraints(e):
     )
 
 
-def _coeff_matrix(basis, z):
-    """M(z): (..., 10, 10) coefficients over B10(x, y) for fixed z.
+def _reduced_bpoly(basis):
+    """B(z) coefficients (..., 3, 3, 5) from Nistér's elimination, batched.
 
-    ``basis``: (..., 4, 3, 3) null-space matrices [E1, E2, E3, E4];
-    ``z``: (...,) the hidden variable.
+    ``basis``: (..., 4, 3, 3).  Steps 2-3 of the module docstring: numeric
+    C extraction at the 20 probe points, pivoted Gauss-Jordan of the
+    leading 10x10 block, row-pair differencing into the 3x3 polynomial
+    matrix.  Degenerate eliminations (singular leading block) produce
+    non-finite coefficients for the caller's validity gates — the OTHER
+    null-space chart covers those samples.
     """
     e1, e2, e3, e4 = (basis[..., k, :, :] for k in range(4))
-    c = e3 * z[..., None, None] + e4  # (..., 3, 3)
-    # Evaluate constraints at the 10 probe points: E = x E1 + y E2 + C.
     e = (
-        _PXJ[:, None, None] * e1[..., None, :, :]
-        + _PYJ[:, None, None] * e2[..., None, :, :]
-        + c[..., None, :, :]
-    )  # (..., 10pts, 3, 3)
-    cons = _constraints(e)  # (..., 10pts, 10cons)
-    return _mm(jnp.swapaxes(cons, -1, -2), _VT_INV)
+        _P20XJ[:, None, None] * e1[..., None, :, :]
+        + _P20YJ[:, None, None] * e2[..., None, :, :]
+        + _P20ZJ[:, None, None] * e3[..., None, :, :]
+        + e4[..., None, :, :]
+    )  # (..., 20pts, 3, 3)
+    cons = _constraints(e)  # (..., 20pts, 10cons)
+    c = _mm(jnp.swapaxes(cons, -1, -2), _V20_INV)  # (..., 10, 20)
+    t = gauss_solve_pivoted(c[..., :10], c[..., 10:])  # (..., 10, 10)
+    # Row pairs (x²z, x²), (y²z, y²), (xyz, xy): eq(m·z) − z·eq(m) cancels
+    # the eliminated monomial, leaving cᵢ(z) = tₐᵢ − z·t_bᵢ over the kept
+    # block ([x, y, 1] x z-powers).
+    ta = t[..., 4:10:2, :]  # (..., 3, 10)
+    tb = t[..., 5:10:2, :]
+    zero = jnp.zeros_like(ta[..., 0])
 
-
-def _det10(m):
-    """Determinant of (..., n, n) by Gauss elimination w/ partial pivoting.
-
-    Vectorized: pivot selection and row swaps are one-hot masked updates (no
-    gathers), so it vmaps cleanly over hypothesis x node batches.
-    """
-    n = m.shape[-1]
-    batch = m.shape[:-2]
-    det = jnp.ones(batch, m.dtype)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    for k in range(n):
-        col = jnp.abs(m[..., :, k])
-        col = jnp.where(rows >= k, col, -1.0)
-        p = jnp.argmax(col, axis=-1)  # (...,)
-        onehot_p = (rows == p[..., None]).astype(m.dtype)  # (..., n)
-        onehot_k = (rows == k).astype(m.dtype)
-        pivot_row = jnp.sum(onehot_p[..., None] * m, axis=-2)  # (..., n)
-        k_row = m[..., k, :]
-        # Swap rows k and p (no-op when p == k).
-        m = (
-            m
-            + onehot_k[..., None] * (pivot_row - k_row)[..., None, :]
-            - onehot_p[..., None] * (pivot_row - k_row)[..., None, :]
+    def zcol(i0):  # kept-monomial triplet [m z², m z, m] -> degree-3 poly
+        return jnp.stack(
+            [
+                ta[..., i0 + 2],
+                ta[..., i0 + 1] - tb[..., i0 + 2],
+                ta[..., i0] - tb[..., i0 + 1],
+                -tb[..., i0],
+                zero,
+            ],
+            axis=-1,
         )
-        det = det * jnp.where(p == k, 1.0, -1.0)
-        piv = m[..., k, k]
-        det = det * piv
-        safe = jnp.where(jnp.abs(piv) > 1e-30, piv, 1e-30)
-        factor = jnp.where(rows > k, m[..., :, k] / safe[..., None], 0.0)
-        m = m - factor[..., None] * m[..., k, None, :]
-    return det
+
+    colx, coly = zcol(0), zcol(3)
+    col1 = jnp.stack(  # kept quadruplet [z³, z², z, 1] -> degree-4 poly
+        [
+            ta[..., 9],
+            ta[..., 8] - tb[..., 9],
+            ta[..., 7] - tb[..., 8],
+            ta[..., 6] - tb[..., 7],
+            -tb[..., 6],
+        ],
+        axis=-1,
+    )
+    bp = jnp.stack([colx, coly, col1], axis=-2)  # (..., 3row, 3col, 5)
+    # Global normalization: det B scales by a z-independent constant (the
+    # polynomial is only used up to scale; the (x, y) solve is invariant)
+    # and ill-conditioned eliminations stay in f32 range.
+    mag = jnp.max(jnp.abs(bp), axis=(-3, -2, -1), keepdims=True)
+    return bp / jnp.maximum(mag, 1e-30)
 
 
 def _trig_eval(coefs, theta, want_grad=False):
@@ -259,12 +298,11 @@ def _solve_chart(basis):
     _EXTRA_SEEDS.
     """
     batch = basis.shape[:-3]
-    bb = basis[..., None, :, :, :]  # broadcast slot for the z/node axis
 
-    # --- P(θ) = cos¹⁰θ·det M(tanθ) by trig interpolation (see constants) --
-    zn = jnp.broadcast_to(_TAN_N, batch + (11,))
-    mz = _coeff_matrix(bb, zn) * _COS2_N[:, None, None]
-    p = _det10(mz) / _COS10_N  # (..., 11)
+    # --- P(θ) = cos¹⁰θ·det B(tanθ) by trig interpolation (see constants) --
+    bp = _reduced_bpoly(basis)  # (..., 3, 3, 5)
+    bt = jnp.einsum("...ijk,nk->...nij", bp, _SC4_N, precision="highest")
+    p = det3(bt) / _COS2_N  # (..., 11)
     scale = jnp.maximum(jnp.max(jnp.abs(p), axis=-1), 1e-30)[..., None]
     coefs = jnp.einsum(
         "ij,...j->...i", _TRIG_INV, p / scale, precision="highest"
@@ -325,27 +363,34 @@ def _solve_chart(basis):
     valid = bracketed & (jnp.abs(_trig_eval(coefs, th)) < 1e-3)
     z = jnp.tan(th)
 
-    # --- (x, y) from the null vector of M(z*) ----------------------------
-    # cos²-scaled M (same null space, bounded entries at |z| >> 1); fixing
-    # the trailing "1"-monomial coordinate to 1 turns the rank-9 null-vector
-    # problem into a 10x9 least squares, solved via its 9x9 normal
-    # equations — one Gauss solve instead of a 10x10 inverse iteration.
-    # The fixed chart degenerates exactly where the old v[_IDX_1]-divide
-    # did (true null vector with tiny "1" component -> the OTHER basis
-    # chart covers it); non-finite solves are gated below.
-    cs2 = (jnp.cos(th) ** 2)[..., None, None]
-    mzs = _coeff_matrix(bb, z) * cs2  # (..., R, 10, 10)
-    a9 = mzs[..., :, :_IDX_1]  # (..., R, 10, 9)
-    b9 = -mzs[..., :, _IDX_1]  # (..., R, 10)
-    ata = _mm(jnp.swapaxes(a9, -1, -2), a9)
-    tr = jnp.trace(ata, axis1=-2, axis2=-1)[..., None, None]
-    ata = ata + (1e-10 * tr) * jnp.eye(9, dtype=ata.dtype)
-    atb = jnp.einsum("...ij,...i->...j", a9, b9, precision="highest")
-    v9 = gauss_solve(ata, atb[..., None])[..., 0]  # (..., R, 9)
-    x = v9[..., _IDX_X]
-    y = v9[..., _IDX_Y]
-    ok_denom = jnp.all(jnp.isfinite(v9), axis=-1) & (
-        jnp.maximum(jnp.abs(x), jnp.abs(y)) < 1e6
+    # --- (x, y) from B(z*)·[x, y, 1]ᵀ = 0 ---------------------------------
+    # Homogenized entries B̃ = cos⁴θ·B(tanθ) (bounded at |z| >> 1; a global
+    # row scale cancels in the solve); the fixed "1" coordinate turns the
+    # rank-2 null-vector problem into a 3x2 least squares, solved by its
+    # 2x2 normal equations in closed form.  The fixed chart degenerates
+    # when the true null vector has a tiny "1" component — the OTHER basis
+    # chart covers it; non-finite solves are gated below.
+    s, cth = jnp.sin(th), jnp.cos(th)
+    sc = jnp.stack(
+        [s**k * cth ** (4 - k) for k in range(5)], axis=-1
+    )  # (..., R, 5)
+    b3 = jnp.einsum(
+        "...ijk,...rk->...rij", bp, sc, precision="highest"
+    )  # (..., R, 3, 3)
+    a2 = b3[..., :, :2]
+    b2 = -b3[..., :, 2]
+    g = _mm(jnp.swapaxes(a2, -1, -2), a2)  # (..., R, 2, 2)
+    tr2 = (g[..., 0, 0] + g[..., 1, 1])[..., None, None]
+    g = g + (1e-10 * tr2) * jnp.eye(2, dtype=g.dtype)
+    gb = jnp.einsum("...ij,...i->...j", a2, b2, precision="highest")
+    d2 = g[..., 0, 0] * g[..., 1, 1] - g[..., 0, 1] * g[..., 1, 0]
+    d2s = jnp.where(jnp.abs(d2) > 1e-30, d2, 1e-30)
+    x = (g[..., 1, 1] * gb[..., 0] - g[..., 0, 1] * gb[..., 1]) / d2s
+    y = (g[..., 0, 0] * gb[..., 1] - g[..., 1, 0] * gb[..., 0]) / d2s
+    ok_denom = (
+        jnp.isfinite(x)
+        & jnp.isfinite(y)
+        & (jnp.maximum(jnp.abs(x), jnp.abs(y)) < 1e6)
     )
 
     e1, e2, e3, e4 = (basis[..., k, None, :, :] for k in range(4))

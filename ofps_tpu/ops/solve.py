@@ -8,6 +8,7 @@ systems (matching nalgebra's ``solve(...).unwrap_or_default()`` pattern).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -51,6 +52,36 @@ def gauss_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         aug = aug - aug[..., :, k : k + 1] * piv
         aug = aug.at[..., k, :].set(piv[..., 0, :])
     return aug[..., n:]
+
+
+def gauss_solve_pivoted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched Gauss-Jordan with partial pivoting: (..., n, n) @ x = (..., n, k).
+
+    For GENERAL (non-SPD) systems where :func:`gauss_solve`'s unpivoted
+    elimination can hit a near-zero leading pivot (the 5-point solver's
+    constraint-matrix elimination).  Pivot selection and row swaps are
+    one-hot masked updates — no gathers — so it vmaps cleanly over
+    hypothesis batches.  Singular systems yield non-finite entries for the
+    caller to gate (matching the solver's candidate-validity convention).
+    """
+    n = a.shape[-1]
+    aug = jnp.concatenate([a, b], axis=-1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    for k in range(n):
+        col = jnp.abs(aug[..., :, k])
+        col = jnp.where(rows >= k, col, -1.0)
+        p = jnp.argmax(col, axis=-1)  # (...,)
+        onehot_p = (rows == p[..., None]).astype(aug.dtype)  # (..., n)
+        onehot_k = (rows == k).astype(aug.dtype)
+        pivot_row = jnp.sum(onehot_p[..., None] * aug, axis=-2)
+        delta = (pivot_row - aug[..., k, :])[..., None, :]
+        aug = aug + onehot_k[..., None] * delta - onehot_p[..., None] * delta
+        piv = aug[..., k, k]
+        safe = jnp.where(jnp.abs(piv) > 1e-30, piv, 1e-30)
+        factor = jnp.where(rows != k, aug[..., :, k] / safe[..., None], 0.0)
+        aug = aug - factor[..., None] * aug[..., k, None, :]
+    diag = jnp.stack([aug[..., i, i] for i in range(n)], axis=-1)
+    return aug[..., :, n:] / diag[..., None]
 
 
 def gauss_inverse(a: jnp.ndarray) -> jnp.ndarray:
