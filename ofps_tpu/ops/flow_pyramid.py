@@ -119,6 +119,12 @@ class FlowParams(NamedTuple):
     # _coarse_guard).  Costs one extra coarse solve + two tiny SADs; False
     # disables (perf bisection / cold-start-only embedders).
     guarded_warm: bool = True
+    # Run the fused Pallas kernels in INTERPRET mode (pallas_call
+    # interpret=True).  Testing-only: with ``fused=True`` this executes the
+    # REAL kernel path on the CPU mesh — e.g. inside a spatially-sharded
+    # shard_map (tests/test_spatial_shard.py), the composition a single
+    # real chip cannot exercise.  Never set on the TPU serving path.
+    interpret: bool = False
 
 
 def auto_margin(params: FlowParams, levels: int, h: int, w: int) -> int:
@@ -528,6 +534,7 @@ def _dense_flow_impl(
                         _a, _b, ui, vi, _s, params.win, coarse_flow=_c,
                         out_dtype=_dt, axis_sep=params.axis_sep,
                         i1_pad=_p1, i2_pad=_p2,
+                        interpret=params.interpret,
                     )
                 if _c:
                     ui = resize_bilinear_matmul(ui.astype(jnp.float32), _h, _w) * 2.0
@@ -541,6 +548,7 @@ def _dense_flow_impl(
                 return flow_refine_small_uv(
                     _a, _b, ui.astype(jnp.float32), vi.astype(jnp.float32),
                     _s, params.win, median_out=_med,
+                    interpret=params.interpret,
                 )
 
             if lvl == levels - 1 and init_uv is not None and params.guarded_warm:
@@ -556,7 +564,7 @@ def _dense_flow_impl(
                     u, v = flow_refine_small_uv(
                         a, b, u.astype(jnp.float32), v.astype(jnp.float32),
                         search, params.win, guard_zero_init=True,
-                        median_out=want_med,
+                        median_out=want_med, interpret=params.interpret,
                     )
                 else:
                     u_w, v_w = refine_one(u, v, _med=False)

@@ -116,6 +116,10 @@ def dense_flow_warm_spatial(
         mesh=mesh,
         in_specs=(img_spec, img_spec, img_spec, img_spec),
         out_specs=(img_spec, img_spec, img_spec, img_spec),
+        # pallas_call emits ShapeDtypeStructs without vma annotations, which
+        # the shard_map varying-axes checker rejects; the body is manually
+        # sharded (halo exchange) by construction, so disable the check.
+        check_vma=False,
     )
     def step(i1b, i2b, wub, wvb):
         a = exchange_halo(i1b, halo, space_axis)

@@ -102,6 +102,55 @@ def test_spatial_flow_close_to_unsharded():
     assert wu1.dtype == jnp.float32
 
 
+def test_spatial_fused_kernels_inside_shard_map():
+    """The FUSED Pallas kernels themselves, executed inside shard_map.
+
+    Round-4 gap: every prior execution of `dense_flow_warm_spatial` ran the
+    XLA flow path inside shard_map (CPU backend -> fused auto-off), so the
+    composition the module exists to protect — pallas_call under a
+    'space'-sharded mesh with halo exchange — had never actually executed.
+    `FlowParams(fused=True, interpret=True)` runs the real kernel path
+    (flow_refine_uv's blocked DMA kernel on the big levels, the whole-image
+    small kernel at the coarsest) in Pallas interpret mode on the CPU mesh;
+    the gate is sharded-vs-unsharded agreement on the same fused params,
+    interior to the halo bound (the identical-algorithm comparison — both
+    sides run the kernels, only the sharding differs).
+    """
+    mesh = make_stream_mesh(8, space=2)
+    b, h, w = 4, 64, 256
+    i1, i2 = _moving_scene(b, h, w)
+    # fuse_min_pixels low enough that the blocked kernel serves L0+L1 at
+    # both the global (64x256) and band+halo (64x384) shapes; the coarsest
+    # level (16x*) stays on the small whole-image kernel — both kernel
+    # entry points execute inside the shard_map body.
+    params = FlowParams(
+        levels=3, coarse_search=3, fused=True, interpret=True,
+        fuse_min_pixels=4000,
+    )
+    (u0, v0), (wu0, wv0) = dense_flow_warm(i1, i2, params)
+
+    spec = NamedSharding(mesh, P("stream", None, "space"))
+    with mesh:
+        (u1, v1), (wu1, wv1) = jax.jit(
+            lambda a, b: dense_flow_warm_spatial(a, b, params, None, mesh)
+        )(jax.device_put(i1, spec), jax.device_put(i2, spec))
+        jax.block_until_ready(u1)
+
+    m = 16  # global border band differs by design (see above)
+    epe = np.hypot(
+        np.asarray(u0, np.float32) - np.asarray(u1, np.float32),
+        np.asarray(v0, np.float32) - np.asarray(v1, np.float32),
+    )[:, m:-m, m:-m]
+    assert np.mean(epe) < 0.05, np.mean(epe)
+    assert np.percentile(epe, 99) < 0.75, np.percentile(epe, 99)
+    wepe = np.hypot(
+        np.asarray(wu0, np.float32) - np.asarray(wu1, np.float32),
+        np.asarray(wv0, np.float32) - np.asarray(wv1, np.float32),
+    )[:, m // 2 : -m // 2, m // 2 : -m // 2]
+    assert np.mean(wepe) < 0.1, np.mean(wepe)
+    assert u1.shape == u0.shape and u1.dtype == u0.dtype
+
+
 def test_spatial_flow_warm_started_step():
     """Second (warm-started) step through the sharded wrapper: the guarded
     warm path and the halo'd warm planes must compose."""
