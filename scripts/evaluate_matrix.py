@@ -319,6 +319,7 @@ def main(outdir=None):
                     f"| {source} | {l} | {np.mean(errs):.4f} | "
                     f"{np.mean(mss):.2f} |\n"
                 )
+    run_translation_matrix(outdir)
     print(f"wrote {outdir}")
 
 
@@ -326,6 +327,191 @@ def _truth_quats(deltas):
     from synthetic import euler_deg
 
     return [euler_deg(*d) for d in deltas]
+
+
+# --- translation (ATE) section --------------------------------------------
+#
+# The reference's GT schema carries positions (tracking/mod.rs:111-123) and
+# its suite exports position stats in the tracking CSVs (mod.rs:813-850),
+# but its published matrix scores rotation only.  We publish the missing
+# column: libmv (the translation-emitting estimator chain,
+# libmv-estimator/src/lib.rs:213-279) integrated over seeded 3-D camera
+# paths, scored with scale-aligned ATE (monocular translation is observable
+# up to one global scale; the chain's triangulate_scale keeps it consistent).
+#
+# Source: exact projections of a seeded non-planar point cloud — the gt-mv
+# analog.  The pixel sources cannot serve here: the rendered clips warp a
+# flat texture (a rotation-only scene with no parallax), and no 3-D renderer
+# exists in this environment, so ATE over decoded pixels is not measurable.
+
+T_PATH = 6  # positions per translation path (T_PATH - 1 flow frames)
+
+
+def make_translation_paths(n_paths=4, seed=11):
+    """Seeded 3-D paths: per-path (quats, positions), varied directions."""
+    from ofps_tpu.core import quat
+    from synthetic import euler_deg
+
+    rng = np.random.default_rng(seed)
+    paths = []
+    for c in range(n_paths):
+        step = 0.06 + 0.06 * rng.random()
+        d = rng.normal(size=3)
+        positions = [np.zeros(3, np.float32)]
+        quats = [np.asarray(quat.identity())]
+        for t in range(T_PATH - 1):
+            # Slowly turning heading; odd paths also rotate the camera.
+            d = d + 0.6 * rng.normal(size=3)
+            d /= np.linalg.norm(d)
+            positions.append(
+                (positions[-1] + step * d.astype(np.float32)).astype(
+                    np.float32
+                )
+            )
+            dq = (
+                euler_deg(*rng.uniform(-0.5, 0.5, 3))
+                if c % 2 == 1
+                else quat.identity()
+            )
+            quats.append(np.asarray(quat.mul(jnp.asarray(quats[-1]), dq)))
+        paths.append((quats, positions))
+    return paths
+
+
+def translation_cloud(cam, n=40, seed=0):
+    """Non-planar cloud (epipolar translation needs depth parallax)."""
+    from synthetic import get_grid
+
+    rng = np.random.default_rng(seed)
+    g = np.asarray(get_grid(n, n, cam))
+    return jnp.asarray(
+        g * rng.uniform(0.3, 1.0, (len(g), 1)).astype(np.float32)
+    )
+
+
+def path_fields(cam, cloud, quats, positions, capacity=1600):
+    """Exact per-frame SparseFlows of the cloud along the path."""
+    from synthetic import calc_view
+
+    from ofps_tpu.core.motion import SparseFlow
+
+    out = []
+    for i in range(len(positions) - 1):
+        v1 = calc_view(jnp.asarray(quats[i]), jnp.asarray(positions[i]))
+        v2 = calc_view(
+            jnp.asarray(quats[i + 1]), jnp.asarray(positions[i + 1])
+        )
+        a = np.asarray(cam.project(cloud, v1))
+        b = np.asarray(cam.project(cloud, v2))
+        keep = (np.abs(a - 0.5).max(1) < 0.5) & (np.abs(b - 0.5).max(1) < 0.5)
+        out.append(
+            SparseFlow.from_arrays(a[keep], (b - a)[keep], capacity=capacity)
+        )
+    return out
+
+
+def eval_translation_path(cam, cloud, quats, positions, algo_points):
+    """(ate_pct_of_path, mean_dir_err_deg, avg_rot_err_deg) for one path."""
+    from ofps_tpu.apps import gt as gtmod
+    from ofps_tpu.core import quat
+    from ofps_tpu.estimators.base import create_estimator
+
+    est = create_estimator("libmv", algo_points=algo_points)
+    fn = jax.jit(est.estimate)
+    state = est.init()
+    key = jax.random.PRNGKey(7)
+    r_acc = jnp.asarray(quats[0])
+    p_acc = jnp.zeros(3, jnp.float32)
+    rots, poss = [], []
+    for flow in path_fields(cam, cloud, quats, positions):
+        key, sub = jax.random.split(key)
+        r, t, state = fn(state, flow, cam, sub)
+        # motion_step (estimator.rs:38-53): pos += rot * tr; rot = r * rot.
+        p_acc = p_acc + quat.rotate_vec(r_acc, t)
+        r_acc = quat.mul(r, r_acc)
+        rots.append(np.asarray(r_acc))
+        poss.append(np.asarray(p_acc))
+    truth = [
+        gtmod.GroundTruthRow(
+            frame=i,
+            fov_x=90.0,
+            fov_y=90.0,
+            rot=np.asarray(quats[i], np.float64),
+            pos=np.asarray(positions[i], np.float64),
+        )
+        for i in range(1, len(positions))
+    ]
+    ate, stats = gtmod.calc_pos_err(truth, poss)
+    path_len = sum(
+        float(np.linalg.norm(np.subtract(b, a)))
+        for a, b in zip(positions, positions[1:])
+    )
+    rot_errs = [
+        gtmod._qangle(gtmod.rotation_to(qe, np.asarray(qg)))
+        for qe, qg in zip(rots, quats[1:])
+    ]
+    return (
+        100.0 * ate / path_len,
+        float(np.degrees(np.mean([s.error_dir for s in stats]))),
+        float(np.degrees(np.mean(rot_errs))),
+    )
+
+
+def run_translation_matrix(outdir):
+    """ate.csv + the SUMMARY.md translation section; returns the rows."""
+    from ofps_tpu.core.camera import StandardCamera
+
+    cam = StandardCamera.create(1.0, 90.0)
+    cloud = translation_cloud(cam)
+    paths = make_translation_paths()
+    rows = []
+    for ci, (quats, positions) in enumerate(paths):
+        row = {"clip": ci}
+        for pts in (7, 8):
+            ate_pct, dir_deg, rot_deg = eval_translation_path(
+                cam, cloud, quats, positions, pts
+            )
+            row[f"ate_pct_{pts}pt"] = ate_pct
+            row[f"dir_deg_{pts}pt"] = dir_deg
+            row[f"rot_deg_{pts}pt"] = rot_deg
+            print(
+                f"trans path{ci} libmv-{pts}pt  ATE={ate_pct:6.2f}% of path"
+                f"  dir={dir_deg:6.2f} deg  rot={rot_deg:.4f} deg",
+                flush=True,
+            )
+        rows.append(row)
+    cols = [
+        "clip",
+        "ate_pct_7pt", "dir_deg_7pt", "rot_deg_7pt",
+        "ate_pct_8pt", "dir_deg_8pt", "rot_deg_8pt",
+    ]
+    with open(os.path.join(outdir, "ate.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(cols)
+        for row in rows:
+            w.writerow(
+                [row["clip"]] + [f"{row[c]:.4f}" for c in cols[1:]]
+            )
+    with open(os.path.join(outdir, "SUMMARY.md"), "a") as f:
+        f.write(
+            "\n## Translation (scale-aligned ATE)\n\n"
+            "libmv chain integrated over 4 seeded 3-D camera paths "
+            "(exact cloud projections — see scripts/evaluate_matrix.py for "
+            "why pixel sources cannot measure parallax here); ATE is the "
+            "scale-aligned RMS trajectory error as %% of path length, dir "
+            "the mean per-frame translation-direction error.  The reference "
+            "carries GT positions (tracking/mod.rs:111-123) but never "
+            "scores them; no reference column exists.\n\n"
+            "| path | libmv-7pt ATE | 7pt dir | libmv-8pt ATE | 8pt dir |\n"
+            "|---|---|---|---|---|\n"
+        )
+        for row in rows:
+            f.write(
+                f"| {row['clip']} | {row['ate_pct_7pt']:.2f}% | "
+                f"{row['dir_deg_7pt']:.2f} deg | {row['ate_pct_8pt']:.2f}% | "
+                f"{row['dir_deg_8pt']:.2f} deg |\n"
+            )
+    return rows
 
 
 if __name__ == "__main__":

@@ -183,3 +183,18 @@ def test_matrix_gate(camera, source, ci, tmp_path):
         assert errs[label] <= ceiling, (
             f"{source} clip{ci} {label}: {errs[label]:.4f} > {ceiling}"
         )
+
+
+def test_translation_matrix_cell(camera):
+    """Gates one cell of the published ATE matrix (docs_stats/ate.csv):
+    the libmv-8pt chain on translation path 0 must hold scale-aligned ATE
+    under 10% of path length and direction error under 11 deg — the same
+    bars tests/test_translation_gt.py establishes, here pinned to the
+    exact path/cloud seeds the published artifact uses."""
+    cloud = em.translation_cloud(camera)
+    quats, positions = em.make_translation_paths()[0]
+    ate_pct, dir_deg, _ = em.eval_translation_path(
+        camera, cloud, quats, positions, algo_points=8
+    )
+    assert ate_pct < 10.0, ate_pct
+    assert dir_deg < 11.0, dir_deg
