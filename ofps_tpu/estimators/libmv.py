@@ -59,6 +59,21 @@ class LibmvParams(NamedTuple):
     # max_error=1e-4 screen units assumes pixel-accurate points; codec MVs
     # sit ~an order above that, where fixed-cut consensus counting breaks.
     adaptive_threshold: bool = True
+    # LO-refit weighting (ops.robust.robust_fit refit_weight): IRLS Cauchy
+    # weights on the wide adaptive cut (see the matrix-experiment numbers in
+    # the field's commit) vs the plain binary inlier mask.
+    refit_weight: str = "binary"
+    lo_iters: int = 2
+    # Gauss-Newton pose polish on the inlier set in ESSENTIAL space
+    # (ops.epipolar.refine_pose_sampson): re-projects the 8-DOF F-pipeline
+    # estimate onto the 5-DOF motion manifold, where codec-MV noise cannot
+    # leak into rotation through the extra DOF.  Measured on the av matrix
+    # cells (CPU, r5): clip0 0.0271 -> 0.0197, clip1 0.0195 -> 0.0106,
+    # clip5 0.0665 -> 0.0620 deg/frame; exact-data (gt-mv) floor improves
+    # too (0.0033 -> 0.0013) because acceptance requires strict SSE
+    # reduction, so the degenerate no-op rule is preserved.
+    gn_polish: bool = True
+    gn_iters: int = 3
 
 
 class PrevMotion(NamedTuple):
@@ -212,6 +227,8 @@ def _robust_fundamental(key, params: LibmvParams, x1, x2, w, max_error=None):
         # (libmv-c.cpp:9-38); a least-squares refit over the consensus set
         # strictly improves it, so the TPU build adds one.
         refit_fn=eight_point_fundamental,
+        refit_weight=params.refit_weight,
+        lo_iters=params.lo_iters,
     )
 
 
@@ -224,6 +241,20 @@ def _pose_from_field(key, params, camera, pos, motion, w, max_error=None):
     e = essential_from_fundamental(res.model, k)
     first = jnp.argmax(res.inliers)
     r, t, sup = motion_from_essential_and_correspondence(e, k, x1[first], x2[first])
+    if params.gn_polish:
+        from ofps_tpu.ops.epipolar import homogeneous, refine_pose_sampson
+        from ofps_tpu.ops.solve import inv3x3
+
+        kinv = inv3x3(k)
+        h1 = jnp.einsum("ij,nj->ni", kinv, homogeneous(x1),
+                        precision="highest")
+        h2 = jnp.einsum("ij,nj->ni", kinv, homogeneous(x2),
+                        precision="highest")
+        x1n = h1[:, :2] / h1[:, 2:]
+        x2n = h2[:, :2] / h2[:, 2:]
+        r, t = refine_pose_sampson(
+            r, t, x1n, x2n, res.inliers * w, iters=params.gn_iters
+        )
     ok = (jnp.sum(res.inliers) >= 3.0) & (sup > 0)
     return r, t, res, ok
 

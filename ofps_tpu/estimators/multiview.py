@@ -66,6 +66,13 @@ class MultiviewParams(NamedTuple):
     # macroblocks — far noisier than the pixel-accurate points OpenCV's
     # default assumes).  No-op on data whose noise fits under max_error.
     adaptive_threshold: bool = True
+    # Gauss-Newton (R, t) polish on the inlier set
+    # (ops.epipolar.refine_pose_sampson): the final refit above is an
+    # 8-DOF fundamental projected onto E; the polish optimizes on the
+    # 5-DOF motion manifold directly (strict-SSE-improvement acceptance,
+    # so degenerate pure-rotation data is a no-op).
+    gn_polish: bool = True
+    gn_iters: int = 3
 
 
 def _normalized_coords(camera: StandardCamera, p: jnp.ndarray) -> jnp.ndarray:
@@ -133,6 +140,12 @@ def estimate_essential_rotation(
     # Refit on inliers, then recover pose with a parallel cheirality vote.
     e = project_to_essential(eight_point_fundamental(x1, x2, res.inliers))
     r, t, _ = recover_pose_from_essential(e, x1, x2, res.inliers)
+    if params.gn_polish:
+        from ofps_tpu.ops.epipolar import refine_pose_sampson
+
+        r, t = refine_pose_sampson(
+            r, t, x1, x2, res.inliers, iters=params.gn_iters
+        )
 
     if params.rotation_fallback:
         # Pure/near-pure rotation is DEGENERATE for essential estimation

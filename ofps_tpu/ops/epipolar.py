@@ -285,6 +285,134 @@ def recover_pose_from_essential(
     return rs[best], ts[best], sup[best]
 
 
+def _rodrigues(omega: jnp.ndarray) -> jnp.ndarray:
+    """R = exp([omega]x) for (..., 3) rotation vectors.
+
+    Formulated as ``I + A(th)[w]x + B(th)[w]x^2`` with Taylor-guarded
+    A = sin(th)/th, B = (1-cos th)/th^2 so the function is DIFFERENTIABLE
+    at omega = 0 (the Gauss-Newton linearization point): a normalize-the-
+    axis formulation with a where(th>0, R, I) guard has a zero forward-mode
+    tangent at 0 — the selected constant branch kills the rotation Jacobian
+    and GN silently never updates R.
+    """
+    th2 = jnp.sum(omega * omega, axis=-1, keepdims=True)
+    small = th2 < 1e-12
+    # Evaluate trig on a value that is safe in BOTH branches; the Taylor
+    # side is what gets selected (and differentiated) near zero.
+    th2s = jnp.where(small, jnp.ones_like(th2), th2)
+    th = jnp.sqrt(th2s)
+    a = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+    b = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / th2s)
+    wx, wy, wz = omega[..., 0], omega[..., 1], omega[..., 2]
+    z = jnp.zeros_like(wx)
+    wcross = jnp.stack(
+        [
+            jnp.stack([z, -wz, wy], -1),
+            jnp.stack([wz, z, -wx], -1),
+            jnp.stack([-wy, wx, z], -1),
+        ],
+        axis=-2,
+    )
+    eye = jnp.eye(3, dtype=omega.dtype)
+    return (
+        eye + a[..., None] * wcross + b[..., None] * _mm(wcross, wcross)
+    )
+
+
+def _cross_mat(t: jnp.ndarray) -> jnp.ndarray:
+    z = jnp.zeros_like(t[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([z, -t[..., 2], t[..., 1]], -1),
+            jnp.stack([t[..., 2], z, -t[..., 0]], -1),
+            jnp.stack([-t[..., 1], t[..., 0], z], -1),
+        ],
+        axis=-2,
+    )
+
+
+def refine_pose_sampson(
+    r0: jnp.ndarray,
+    t0: jnp.ndarray,
+    x1n: jnp.ndarray,
+    x2n: jnp.ndarray,
+    w: jnp.ndarray,
+    iters: int = 3,
+):
+    """Gauss-Newton polish of (R, t) minimizing weighted Sampson error of
+    E = [t]x R over normalized correspondences.
+
+    The fundamental-matrix pipeline estimates 8 DOF (7 for F + scale) where
+    the motion has only 5 — on noisy (quarter-pel codec) correspondences the
+    extra DOF soak up noise that then leaks into the recovered rotation.
+    This re-projects the estimate onto the 5-DOF manifold: parameters are a
+    rotation vector (left-applied to R) and 2 coefficients over a basis
+    orthogonal to t (direction-only translation); each iteration linearizes
+    the SIGNED Sampson residual with forward-mode autodiff and solves the
+    5x5 normal equations.  An update is kept only while it strictly reduces
+    the weighted SSE, so exactly-degenerate data (pure rotation: t
+    unobservable, residuals already ~0) is a no-op — the same acceptance
+    convention as robust_fit's LO refit.
+
+    ``x1n``/``x2n``: (N, 2) normalized camera coords; ``w``: (N,) weights.
+    No reference counterpart: libmv keeps the raw F-derived pose
+    (libmv-c.cpp:69-101); this is the TPU build's accuracy addition.
+    """
+    h1 = homogeneous(x1n)
+    h2 = homogeneous(x2n)
+    tn = t0 / jnp.maximum(jnp.linalg.norm(t0), 1e-20)
+    # Orthonormal basis of t's tangent plane (pick the least-aligned axis).
+    a = jnp.where(
+        jnp.abs(tn[0]) < 0.9,
+        jnp.array([1.0, 0.0, 0.0], t0.dtype),
+        jnp.array([0.0, 1.0, 0.0], t0.dtype),
+    )
+    b1 = jnp.cross(tn, a)
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-20)
+    b2 = jnp.cross(tn, b1)
+
+    def signed_residual(p, r, t):
+        rr = _mm(_rodrigues(p[:3]), r)
+        tt = t + p[3] * b1 + p[4] * b2
+        e = _mm(_cross_mat(tt), rr)
+        fx1 = jnp.einsum("ij,nj->ni", e, h1, precision="highest")
+        ftx2 = jnp.einsum("ji,nj->ni", e, h2, precision="highest")
+        num = jnp.einsum("ni,ni->n", h2, fx1, precision="highest")
+        den = (
+            fx1[..., 0] ** 2
+            + fx1[..., 1] ** 2
+            + ftx2[..., 0] ** 2
+            + ftx2[..., 1] ** 2
+        )
+        return num * jax.lax.rsqrt(jnp.maximum(den, 1e-20))
+
+    def sse(r, t):
+        res = signed_residual(jnp.zeros(5, r.dtype), r, t)
+        return jnp.sum(w * res * res)
+
+    r, t = r0, tn
+    best = sse(r, t)
+    for _ in range(iters):
+        res = signed_residual(jnp.zeros(5, r.dtype), r, t)
+        jac = jax.jacfwd(signed_residual)(jnp.zeros(5, r.dtype), r, t)
+        jw = jac * w[:, None]
+        g = _mm(jw.T, jac)  # (5, 5)
+        g = g + (1e-8 * jnp.trace(g) + 1e-20) * jnp.eye(5, dtype=g.dtype)
+        rhs = -_mm(jw.T, res[:, None])[:, 0]
+        from ofps_tpu.ops.solve import gauss_solve
+
+        step = gauss_solve(g, rhs[:, None])[:, 0]
+        r_new = _mm(_rodrigues(step[:3]), r)
+        t_new = t + step[3] * b1 + step[4] * b2
+        t_new = t_new / jnp.maximum(jnp.linalg.norm(t_new), 1e-20)
+        new = sse(r_new, t_new)
+        good = (new < best) & jnp.all(jnp.isfinite(step))
+        r = jnp.where(good, r_new, r)
+        t = jnp.where(good, t_new, t)
+        best = jnp.where(good, new, best)
+    return r, t * jnp.linalg.norm(t0)
+
+
 def motion_from_essential_and_correspondence(
     e: jnp.ndarray, k: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray
 ):

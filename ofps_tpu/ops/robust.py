@@ -146,6 +146,7 @@ def robust_fit(
     adaptive_threshold: bool = False,
     refit_fn: Callable | None = None,
     lo_iters: int = 2,
+    refit_weight: str = "binary",
     prescore_cap: int = 0,
     finalists: int = 32,
 ) -> RobustResult:
@@ -308,10 +309,23 @@ def robust_fit(
         # gt-mv libmv-7pt 0.0016 deg on CPU vs 0.4765 on TPU.  With the
         # strict-improvement rule the refit is a no-op at the degenerate
         # floor and still accepted on genuinely noisy (codec-MV) data.
+        # ``refit_weight="cauchy"`` runs the refit LSQ with IRLS Cauchy
+        # weights cut/(cut + err) instead of the binary inlier mask: points
+        # near the (noise-adaptive) cut contribute less than confident ones,
+        # which matters exactly where the cut is wide — quarter-pel codec
+        # MVs under the adaptive threshold.  Acceptance stays binary (same
+        # inlier-set + strict-improvement rule), so degenerate-data behavior
+        # is unchanged (the refit is still a no-op at the exact-data floor).
         inl = inliers.astype(jnp.float32)
+        err_pt = best_err  # current model's per-point error (weights source)
         err_cur = jnp.sum(best_err * inl)
+        cutw = jnp.maximum(cut, 1e-30)
         for _ in range(max(1, lo_iters)):
-            m2 = refit_fn(x1, x2, inl)
+            if refit_weight == "cauchy":
+                wfit = inl * (cutw / (cutw + err_pt))
+            else:
+                wfit = inl
+            m2 = refit_fn(x1, x2, wfit)
             err2 = error_fn(m2[None], x1, x2)[0]
             inl2 = ((err2 <= cut) & (w > 0.5)).astype(jnp.float32)
             err_new = jnp.sum(err2 * inl)  # same set -> comparable sums
@@ -322,6 +336,7 @@ def robust_fit(
             )
             model = jnp.where(good, m2, model)
             err_cur = jnp.where(good, jnp.sum(err2 * inl2), err_cur)
+            err_pt = jnp.where(good, err2, err_pt)
             inl = jnp.where(good, inl2, inl)
         inliers = inl > 0.5
         final_score = jnp.where(
