@@ -61,9 +61,11 @@ GATES = {
     # quarter-pel codec noise broke consensus counting: multiview-ransac
     # read 0.1932 avg vs the reference's ~0.104; now 0.0305 — measured
     # clip0 0.0153/0.0157, gated with ~2x headroom).
+    # libmv-7pt tightened 0.035 -> 0.030 in r5: the Gauss-Newton essential-
+    # manifold polish (estimators/libmv.py gn_polish) measured 0.0197 here.
     ("av", 0): {"almeida": 0.012, "almeida-ransac": 0.018,
                 "homography-ransac": 0.09, "multiview-ransac": 0.035,
-                "libmv-7pt": 0.035},
+                "libmv-7pt": 0.030},
     ("av", 5): {"almeida": 0.010, "almeida-ransac": 0.015,
                 "homography-ransac": 0.09},
     # Robust dense-LK (rlof slot) through the production decoder; the warm
