@@ -136,34 +136,54 @@ def find_nearest(prev: PrevMotion, query: jnp.ndarray, w: jnp.ndarray):
 
     ``query``: (N, 2) current start positions. Returns (pos, motion, found).
     Parity: PrevMotion::find_nearest_entry (lib.rs:85-107).
+
+    TPU shape (round 5): the naive per-offset lookup is 25 dynamic gathers
+    of N rows each — 25N scalar-core row fetches, 4.6 ms/frame of the
+    serving step at N=12,600 (scripts/profile_libmv.py).  The index table
+    is tiny (40x40), so instead pre-assemble, per CELL, all 25 clamped
+    neighbor records as one 128-lane row (25 x [px, py, mx, my, v] = 125
+    floats, padded to 128): 25 static edge-clamped shifts of the (G, G, 5)
+    grid — trivial VPU work — then ONE aligned row gather per query and a
+    fully vectorized 25-candidate masked min.  The candidate scan order
+    (dy-major, dx-minor) and the strict-< tie rule survive via argmin's
+    first-minimum semantics.
     """
     cx = jnp.clip((query[..., 0] * GRID).astype(jnp.int32), 0, GRID - 1)
     cy = jnp.clip((query[..., 1] * GRID).astype(jnp.int32), 0, GRID - 1)
 
-    best_d = jnp.full(query.shape[:-1], 1e9, jnp.float32)
-    best_pos = jnp.zeros_like(query)
-    best_mot = jnp.zeros_like(query)
-    found = jnp.zeros(query.shape[:-1], bool)
-    pos_f = prev.pos.reshape(-1, 2)
-    mot_f = prev.motion.reshape(-1, 2)
-    val_f = prev.valid.reshape(-1)
-    for dy in range(-2, 3):
-        for dx in range(-2, 3):
-            nx = jnp.clip(cx + dx, 0, GRID - 1)
-            ny = jnp.clip(cy + dy, 0, GRID - 1)
-            ci = ny * GRID + nx
-            p = pos_f[ci]
-            m = mot_f[ci]
-            v = val_f[ci] > 0.5
-            ep = p + m
-            d = jnp.abs(query - ep)
-            inbox = (d[..., 0] < _RANGE) & (d[..., 1] < _RANGE) & v
-            l1 = d[..., 0] + d[..., 1]
-            better = inbox & (l1 < best_d)
-            best_d = jnp.where(better, l1, best_d)
-            best_pos = jnp.where(better[..., None], p, best_pos)
-            best_mot = jnp.where(better[..., None], m, best_mot)
-            found = found | better
+    rec = jnp.concatenate(
+        [prev.pos, prev.motion, prev.valid[..., None]], axis=-1
+    )  # (G, G, 5)
+
+    def shift(dy: int, dx: int):
+        # rec[clip(y+dy), clip(x+dx)] == edge-padded slice (static offsets).
+        padded = jnp.pad(rec, ((2, 2), (2, 2), (0, 0)), mode="edge")
+        return padded[2 + dy : 2 + dy + GRID, 2 + dx : 2 + dx + GRID]
+
+    table = jnp.stack(
+        [shift(dy, dx) for dy in range(-2, 3) for dx in range(-2, 3)],
+        axis=2,
+    ).reshape(GRID * GRID, 125)
+    table = jnp.pad(table, ((0, 0), (0, 3)))  # one 128-lane row per cell
+
+    rows = table[cy * GRID + cx]  # (N, 128): the single gather
+    cand = rows[..., :125].reshape(*query.shape[:-1], 25, 5)
+    p = cand[..., 0:2]
+    m = cand[..., 2:4]
+    v = cand[..., 4] > 0.5
+    d = jnp.abs(query[..., None, :] - (p + m))
+    inbox = (d[..., 0] < _RANGE) & (d[..., 1] < _RANGE) & v
+    l1 = jnp.where(inbox, d[..., 0] + d[..., 1], 1e9)
+    am = jnp.argmin(l1, axis=-1)  # first minimum == loop's strict-< winner
+    sel = (
+        jnp.arange(25, dtype=am.dtype) == am[..., None]
+    ).astype(jnp.float32)
+    found = jnp.any(inbox, axis=-1)
+    # Zero the not-found rows like the loop's untouched init (weight-0
+    # chain points must stay exactly zero, not candidate-0's record).
+    fz = found[..., None].astype(jnp.float32)
+    best_pos = jnp.einsum("...c,...ck->...k", sel, p) * fz
+    best_mot = jnp.einsum("...c,...ck->...k", sel, m) * fz
     return best_pos, best_mot, found & (w > 0.5)
 
 
