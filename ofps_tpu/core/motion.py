@@ -102,11 +102,37 @@ class Densifier(NamedTuple):
         return w, h
 
     def add_flow(self, flow: SparseFlow, weight: jnp.ndarray | float = 1.0) -> "Densifier":
-        """Scatter-add a sparse flow into the accumulator (vectorized)."""
+        """Scatter-add a sparse flow into the accumulator (vectorized).
+
+        For SMALL grids (the detector's ~14x14 accumulator, the hot
+        path) the scatter is computed as a one-hot MXU matmul rather
+        than ``.at[idx].add``: an XLA:TPU scatter with N=12,600 updates
+        serializes on the scalar core (~0.2 ms/stream in the detector
+        stage), while onehotᵀ·values is ~2.5 MMAC — noise on the MXU.
+        f32 with ``precision="highest"`` keeps the accumulation exact
+        (one-hot entries are 0/1; summation-order differences vs the
+        scatter are ordinary f32 reassociation, under the oracle-parity
+        test tolerances).  Big grids (e.g. the 150x84 motion-extract
+        densify, cold paths) keep the scatter: there the one-hot
+        materializes N x cells f32 (~0.6 GB at 12,600 x 12,600), far
+        worse than the serialized updates.
+        """
         h, w = self.counts.shape[-2:]
         x, y = flow_cell_index(flow.pos, w, h)
         idx = y * w + x
         wgt = flow.mask * weight
+        if h * w <= 1024:
+            onehot = (
+                idx[..., None] == jnp.arange(h * w, dtype=idx.dtype)
+            ).astype(jnp.float32)  # (N, h*w)
+            counts = self.counts + jnp.einsum(
+                "n,nc->c", wgt, onehot, precision="highest"
+            ).reshape(h, w)
+            sums = self.sums + jnp.einsum(
+                "nk,nc->ck", flow.motion * wgt[..., None], onehot,
+                precision="highest",
+            ).reshape(h, w, 2)
+            return Densifier(sums, counts)
         counts = self.counts.reshape(-1).at[idx].add(wgt).reshape(h, w)
         sums = (
             self.sums.reshape(-1, 2)
@@ -271,6 +297,42 @@ def grid_downsample_field(field: jnp.ndarray, gw: int, gh: int) -> jnp.ndarray:
     return sums / jnp.maximum(counts, 1.0)[..., None]
 
 
+def grid_scatter_plan_np(h: int, w: int, gh: int, gw: int, border_px: int = 0):
+    """Static numpy pieces of the scatter-mean densify.
+
+    Returns ``(sy, sx, counts, idx_y, idx_x)``: per-axis one-hot scatter
+    matrices (``(h, gh)`` / ``(w, gw)``, border rows/cols zeroed), the
+    per-cell valid-pixel ``counts`` (``(gh, gw)``, floored at 1), and the
+    nearest-valid-cell replicate gathers (None when ``border_px == 0``).
+    Shared by :func:`grid_downsample_uv` (XLA path) and the fused in-kernel
+    densify (:func:`ofps_tpu.pallas.flow_refine.build_grid_plan`), so both
+    paths compute the same cell partition by construction.
+    """
+    import numpy as np
+
+    sy_np = _axis_scatter_matrix_np(h, gh)  # (H, gh)
+    sx_np = _axis_scatter_matrix_np(w, gw)  # (W, gw)
+    idx_y = idx_x = None
+    if border_px > 0:
+        m = min(border_px, (h - 1) // 2, (w - 1) // 2)
+
+        def mask_axis(s_np, n, g):
+            s_np = s_np.copy()
+            s_np[:m] = 0.0
+            s_np[n - m:] = 0.0
+            col = s_np.sum(axis=0)  # valid pixels per grid cell
+            valid = np.nonzero(col > 0)[0]
+            idx = np.clip(np.arange(g), valid.min(), valid.max())
+            return s_np, idx
+
+        sy_np, idx_y = mask_axis(sy_np, h, gh)
+        sx_np, idx_x = mask_axis(sx_np, w, gw)
+    counts = np.maximum(
+        sy_np.sum(axis=0)[:, None] * sx_np.sum(axis=0)[None, :], 1.0
+    ).astype(np.float32)
+    return sy_np, sx_np, counts, idx_y, idx_x
+
+
 def grid_downsample_uv(
     u: jnp.ndarray,
     v: jnp.ndarray,
@@ -293,30 +355,14 @@ def grid_downsample_uv(
     the replicate is a static gather over the tiny grid axes, it costs
     nothing at full resolution.  Returns (..., gh, gw, 2) float32.
     """
-    import numpy as np
-
     h, w = u.shape[-2], u.shape[-1]
-    sy_np = _axis_scatter_matrix_np(h, gh)  # (H, gh)
-    sx_np = _axis_scatter_matrix_np(w, gw)  # (W, gw)
-    idx_y = idx_x = None
-    if border_px > 0:
-        m = min(border_px, (h - 1) // 2, (w - 1) // 2)
-
-        def mask_axis(s_np, n, g):
-            s_np = s_np.copy()
-            s_np[:m] = 0.0
-            s_np[n - m:] = 0.0
-            col = s_np.sum(axis=0)  # valid pixels per grid cell
-            valid = np.nonzero(col > 0)[0]
-            idx = np.clip(np.arange(g), valid.min(), valid.max())
-            return s_np, jnp.asarray(idx)
-
-        sy_np, idx_y = mask_axis(sy_np, h, gh)
-        sx_np, idx_x = mask_axis(sx_np, w, gw)
-    sy, sx = jnp.asarray(sy_np), jnp.asarray(sx_np)
-    counts = jnp.maximum(
-        jnp.sum(sy, axis=0)[:, None] * jnp.sum(sx, axis=0)[None, :], 1.0
+    sy_np, sx_np, counts_np, idx_y, idx_x = grid_scatter_plan_np(
+        h, w, gh, gw, border_px
     )
+    if idx_y is not None:
+        idx_y, idx_x = jnp.asarray(idx_y), jnp.asarray(idx_x)
+    sy, sx = jnp.asarray(sy_np), jnp.asarray(sx_np)
+    counts = jnp.asarray(counts_np)
 
     def ds(x):
         t = jnp.einsum(

@@ -40,12 +40,22 @@ class DetectorInstance:
         from ofps_tpu.core.plugins import adapt_optional_kwargs
 
         self.detect = adapt_optional_kwargs(self.detect, ("props",))
+        if self.detect_field is not None:
+            self.detect_field = adapt_optional_kwargs(
+                self.detect_field, ("props",)
+            )
     # () -> dict of *dynamic* property scalars (continuous-valued params the
     # reference pushes into a RUNNING plugin every frame,
     # app/utils/properties.rs:5-18).  These are jnp scalars traced through
     # the step, so mutating them takes effect next frame with NO re-jit;
     # shape-affecting params stay static in ``params``.
     dyn_defaults: Callable[[], dict] = lambda: {}
+    # Optional dense fast path: (field (gh, gw, 2), props=None) ->
+    # DetectionResult.  When the caller holds the REGULAR-LATTICE field the
+    # sparse entries came from (StreamPipeline's densified grid), the
+    # position->cell map is static and the densify collapses to two static
+    # separable matmuls — must agree exactly with detect(field_to_sparse(f)).
+    detect_field: Callable[..., DetectionResult] | None = None
 
 
 def register(name: str):

@@ -97,10 +97,15 @@ def largest_component(active: jnp.ndarray):
     labels = label_components(active)
     flat = labels.reshape(-1)
     # Count cells per label (labels are linear indices < h*w, or BIG).
+    # One-hot compare-reduce instead of a scatter-add: n^2 VPU compares
+    # (n=196 by default) beat n serialized scalar-core scatter updates.
     valid = flat < h * w
-    counts = jnp.zeros((h * w,), dtype=jnp.int32).at[
-        jnp.where(valid, flat, 0)
-    ].add(valid.astype(jnp.int32))
+    safe = jnp.where(valid, flat, h * w)  # out-of-range -> matches nothing
+    counts = jnp.sum(
+        (safe[:, None] == jnp.arange(h * w, dtype=flat.dtype)[None, :])
+        .astype(jnp.int32),
+        axis=0,
+    )
     best_label = jnp.argmax(counts)
     area = counts[best_label]
     mask = (labels == best_label) & active

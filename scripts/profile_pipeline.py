@@ -189,6 +189,52 @@ def main():
 
     stage("homography", hom_fn, (sparse, jax.random.PRNGKey(2)))
 
+    # homography substages: robust_fit with/without the LO refits (the
+    # tail = full - hom_fit is the final full-N DLT + GN polish + sign
+    # disambiguation + decomposition).
+    from ofps_tpu.estimators.homography import HomographyParams
+    from ofps_tpu.ops.homography import (
+        dlt_homography,
+        homography_transfer_error,
+    )
+    from ofps_tpu.ops.robust import ransac_budget, robust_fit
+
+    hp_ = HomographyParams()
+
+    def _hom_minimal(x1s, x2s, ws):
+        return dlt_homography(x1s, x2s, ws)[None], jnp.ones((1,), bool)
+
+    def _hom_fit_stage(name, seed, lo):
+        def fit_fn(c):
+            sp, k = c
+            k, sub = jax.random.split(k)
+
+            def one(fl, kk):
+                res = robust_fit(
+                    kk, fl.pos, fl.pos + fl.motion, fl.mask,
+                    minimal_fit=_hom_minimal, sample_size=4,
+                    error_fn=homography_transfer_error,
+                    num_hypotheses=ransac_budget(
+                        hp_.desired_confidence, hp_.outlier_proba, 4,
+                        min(hp_.num_hypotheses, hp_.max_iters),
+                    ),
+                    threshold=hp_.max_error, eval_cap=hp_.eval_cap,
+                    adaptive_threshold=hp_.adaptive_threshold,
+                    refit_fn=dlt_homography if lo else None,
+                    lo_iters=2 if lo else 0,
+                    prescore_cap=hp_.prescore_cap,
+                    finalists=hp_.finalists,
+                )
+                return jnp.sum(res.model) + jnp.sum(res.inliers)
+
+            s = jnp.sum(jax.vmap(one)(sp, jax.random.split(sub, b)))
+            return (sp._replace(motion=sp.motion + s * 1e-12), k), s
+
+        stage(name, fit_fn, (sparse, jax.random.PRNGKey(seed)))
+
+    _hom_fit_stage("hom_fit", 6, lo=True)
+    _hom_fit_stage("hom_fit0", 7, lo=False)
+
     # detector
     det = create_detector("block_motion")
 
@@ -199,6 +245,38 @@ def main():
         return sp._replace(motion=sp.motion + s * 1e-12), s
 
     stage("detector", det_fn, sparse)
+
+    # detector substages: the scatter-mean densify into the ~14x14 grid vs
+    # the transitive-closure labeling (everything else is tiny reductions).
+    from ofps_tpu.core.motion import Densifier
+    from ofps_tpu.detectors.block_motion import block_dim
+    from ofps_tpu.ops.components import largest_component
+
+    ddim = block_dim(det.params)
+
+    def det_dens_fn(c):
+        sp = c
+
+        def one(fl):
+            return jnp.sum(Densifier.zeros(ddim, ddim).add_flow(fl).finalize())
+
+        s = jnp.sum(jax.vmap(one)(sp))
+        return sp._replace(motion=sp.motion + s * 1e-12), s
+
+    stage("det_densify", det_dens_fn, sparse)
+
+    def det_label_fn(c):
+        act, tick = c
+        mask, area = jax.vmap(largest_component)(act)
+        s = jnp.sum(area).astype(jnp.float32) + tick
+        # Flip one cell each iteration so the scan body is not loop-invariant.
+        act = act.at[:, 0, 0].set(tick.astype(jnp.int32) % 2 == 0)
+        return (act, tick + 1.0), s
+
+    act0 = (
+        jax.random.uniform(jax.random.PRNGKey(8), (b, ddim, ddim)) > 0.5
+    )
+    stage("det_label", det_label_fn, (act0, jnp.float32(0)))
 
     # full step
     pipe = StreamPipeline(

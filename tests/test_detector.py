@@ -164,3 +164,35 @@ def test_label_components_adversarial_paths():
             rep = got[want == comp][0]
             assert rep not in reps.values()
             reps[comp] = rep
+
+
+def test_detect_field_fast_path_matches_sparse():
+    """detect_field(grid) must equal detect(field_to_sparse(grid)) exactly.
+
+    The dense fast path replaces the per-entry scatter with static
+    separable one-hot matmuls (block_motion.detect_motion_field); the
+    StreamPipeline serving step uses it for every frame, so any cell-map
+    or count divergence would silently change detections.
+    """
+    from ofps_tpu.core.motion import field_to_sparse
+    from ofps_tpu.detectors.block_motion import detect_motion, detect_motion_field
+
+    rng = np.random.default_rng(11)
+    params = BlockMotionParams()
+    for gh, gw in [(84, 150), (14, 14), (30, 53), (1, 1)]:
+        field = jnp.asarray(
+            rng.normal(0, 0.01, (gh, gw, 2)).astype(np.float32)
+        )
+        a = detect_motion(params, field_to_sparse(field))
+        b = detect_motion_field(params, field)
+        assert bool(a.detected) == bool(b.detected)
+        assert int(a.area) == int(b.area)
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+        np.testing.assert_allclose(
+            np.asarray(a.field), np.asarray(b.field), rtol=0, atol=1e-7
+        )
+
+
+def test_detect_field_wired_into_registry():
+    det = create_detector("block_motion")
+    assert det.detect_field is not None
