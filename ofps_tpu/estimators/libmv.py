@@ -182,8 +182,8 @@ def find_nearest(prev: PrevMotion, query: jnp.ndarray, w: jnp.ndarray):
     # Zero the not-found rows like the loop's untouched init (weight-0
     # chain points must stay exactly zero, not candidate-0's record).
     fz = found[..., None].astype(jnp.float32)
-    best_pos = jnp.einsum("...c,...ck->...k", sel, p) * fz
-    best_mot = jnp.einsum("...c,...ck->...k", sel, m) * fz
+    best_pos = jnp.einsum("...c,...ck->...k", sel, p, precision="highest") * fz
+    best_mot = jnp.einsum("...c,...ck->...k", sel, m, precision="highest") * fz
     return best_pos, best_mot, found & (w > 0.5)
 
 
