@@ -46,6 +46,12 @@ class HomographyParams(NamedTuple):
     # LMedS-sigma floor on the RANSAC cut for noisy (codec-MV) fields; see
     # ops.robust.robust_fit.  No-op when the data noise fits under max_error.
     adaptive_threshold: bool = True
+    # Progressive scoring (see ops.robust): besides the transfer-error sweep
+    # itself, the adaptive-threshold masked median (a 31-round bit loop over
+    # every hypothesis x eval point, VPU-serialized) moves to the 128-point
+    # presubset — the dominant saving for this estimator's small model cost.
+    prescore_cap: int = 128
+    finalists: int = 32
 
 
 def estimate_homography_rotation(
@@ -80,6 +86,8 @@ def estimate_homography_rotation(
         eval_cap=params.eval_cap,
         adaptive_threshold=params.adaptive_threshold,
         refit_fn=dlt_homography,
+        prescore_cap=params.prescore_cap,
+        finalists=params.finalists,
     )
     # Weighted refit on the winning inlier set + Gauss-Newton polish on the
     # transfer error (OpenCV refines with LM here).

@@ -395,6 +395,7 @@ def _dense_flow_impl(
     init_uv=None,
     prev_cache: Optional[FrameCache] = None,
     want_cache: bool = False,
+    grid_plan=None,
 ):
     """Shared pyramid loop: returns (u, v, warm, cache) with warm the
     level-1 flow and cache the :class:`FrameCache` of ``i2`` (``None``
@@ -524,9 +525,14 @@ def _dense_flow_impl(
             else:
                 i1_pad_l = i2_pad_l = None
 
+            # In-kernel grid densify at the finest level (serving path):
+            # the full-res (u, v) store + re-read exists only to feed the
+            # grid scatter-mean, a ~16 MB/frame HBM round-trip at 1080p.
+            _gp = grid_plan if (lvl == 0 and levels > 1 and fused) else None
+
             def refine_one(ui, vi, _a=a, _b=b, _s=search, _f=fused, _c=coarse,
                            _h=h, _w=w, _dt=out_dtype, _med=want_med,
-                           _p1=i1_pad_l, _p2=i2_pad_l):
+                           _p1=i1_pad_l, _p2=i2_pad_l, _gp=_gp):
                 if _f:
                     # Coarse flow feeds the kernel directly: the 2x upsample
                     # happens in VMEM (no standalone upsample pass).
@@ -535,6 +541,7 @@ def _dense_flow_impl(
                         out_dtype=_dt, axis_sep=params.axis_sep,
                         i1_pad=_p1, i2_pad=_p2,
                         interpret=params.interpret,
+                        grid_plan=_gp,
                     )
                 if _c:
                     ui = resize_bilinear_matmul(ui.astype(jnp.float32), _h, _w) * 2.0
@@ -695,6 +702,7 @@ def dense_flow_warm(
     warm=None,
     prev_cache: Optional[FrameCache] = None,
     want_cache: bool = False,
+    grid_plan=None,
 ):
     """Streaming-oriented dense flow with a cheap warm-start carry.
 
@@ -708,9 +716,16 @@ def dense_flow_warm(
     steps (``want_cache=True`` appends it to the return tuple) so the i1
     pyramid + fused-level pad passes are computed once per frame instead
     of twice; :func:`dense_flow_stream` packages this pattern.
+
+    ``grid_plan`` (``pallas.flow_refine.build_grid_plan``): when the fused
+    TPU path serves the finest level, (u, v) come back as the plan's
+    (gh, gw) grid-densify SUMS instead of full resolution — the serving
+    pipeline's only consumer — skipping the full-res store + re-read.
+    Callers detect application by the returned shape (the XLA path and
+    non-full-width levels ignore the plan).
     """
     u, v, warm_next, cache = _dense_flow_impl(
-        i1, i2, params, warm, prev_cache, want_cache
+        i1, i2, params, warm, prev_cache, want_cache, grid_plan=grid_plan
     )
     if want_cache:
         return (u, v), warm_next, cache

@@ -64,13 +64,7 @@ def _refine_kernel(
     i2_hbm,
     u_ref,
     v_ref,
-    ou_ref,
-    ov_ref,
-    s1,
-    sem1,
-    s2,
-    sem2,
-    *up_scratch,
+    *refs,  # [syt_ref, sxg_ref,] outputs (ou/ov or gu/gv), scratch
     bh,
     bw,
     r,
@@ -94,12 +88,51 @@ def _refine_kernel(
     axis_sep=False,
     i1_row_off=0,  # static row offset of the i1 tile DMA (i2-layout input)
     stage=99,  # debug: truncate the kernel after stage N (perf bisection)
+    grid_fused=False,  # emit per-block grid-densify partials INSTEAD of u,v
 ):
+    if grid_fused:
+        syt_ref, sxg_ref, ou_ref, ov_ref, *scratch = refs
+    else:
+        ou_ref, ov_ref, *scratch = refs
+    s1, sem1, s2, sem2, *up_scratch = scratch
+
     b = pl.program_id(0)
     bi = pl.program_id(1)
     bj = pl.program_id(2)
     t = bi * gw_blocks + bj
     nblocks = gh_blocks * gw_blocks
+
+    def emit(uf, vf):
+        """Final write: full-res (u, v), or their grid-densify partials.
+
+        Grid mode replaces the (bh, bw) full-res store with the block's
+        contribution to the scatter-mean grid (core.motion grid plan):
+        gu = Syᵀ_block · u · Sx — two small MXU matmuls (~6 MMAC vs the
+        16 MB/frame HBM round-trip of store-then-densify at 1080p).  bf16
+        matmul inputs: the u cast is the SAME quantization the stored-bf16
+        + XLA-densify path applies; the (K, bw) row-partial cast adds a
+        second ~0.4%-relative rounding that averages out over a cell's
+        ~13 column groups (<0.01 px on the cell mean, measured).
+        """
+        if not grid_fused:
+            ou_ref[0] = uf.astype(out_dtype)
+            ov_ref[0] = vf.astype(out_dtype)
+            return
+        syt = syt_ref[0]  # (K, bh) bf16 — this block row's Syᵀ slice
+        ru = jnp.dot(
+            syt, uf.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+        rv = jnp.dot(
+            syt, vf.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+        ou_ref[0] = jnp.dot(
+            ru.astype(jnp.bfloat16), sxg_ref[...],
+            preferred_element_type=jnp.float32,
+        )
+        ov_ref[0] = jnp.dot(
+            rv.astype(jnp.bfloat16), sxg_ref[...],
+            preferred_element_type=jnp.float32,
+        )
 
     hs = r + s
     t1h = bh + 16
@@ -407,8 +440,7 @@ def _refine_kernel(
             # beyond the 3-tap window — same edge rule as the 2-D path).
             return bi.astype(jnp.float32) + jnp.where(bi == 0, off, 0.0)
 
-        ou_ref[0] = (u + axis_refine(cxm, c00, cxp)).astype(out_dtype)
-        ov_ref[0] = (v + axis_refine(cym0, c00, cyp0)).astype(out_dtype)
+        emit(u + axis_refine(cxm, c00, cxp), v + axis_refine(cym0, c00, cyp0))
         return
 
     # Two-phase argmin + parabola-neighbor extraction: per-dy row reductions
@@ -474,8 +506,7 @@ def _refine_kernel(
     sub_x = parabola(cxm, c0, cxp, jnp.abs(bx) == s)
     sub_y = parabola(cym, c0, cyp, jnp.abs(by) == s)
 
-    ou_ref[0] = (u + bx.astype(jnp.float32) + sub_x).astype(out_dtype)
-    ov_ref[0] = (v + by.astype(jnp.float32) + sub_y).astype(out_dtype)
+    emit(u + bx.astype(jnp.float32) + sub_x, v + by.astype(jnp.float32) + sub_y)
 
 
 def _pick_block(n: int, candidates) -> int:
@@ -540,6 +571,66 @@ def pad_image_kernel_layout(img: jnp.ndarray, bh: int, bw: int) -> jnp.ndarray:
     )
 
 
+def build_grid_plan(
+    h: int, w: int, gh: int, gw: int, border_px: int = 0,
+    coarse_flow: bool = True,
+):
+    """Static plan for the in-kernel grid densify (serving pipeline L0).
+
+    Precomputes per-block-row transposed Syᵀ slices (each L0 block of ``bh``
+    image rows touches only ~``bh/cell_h + 1`` grid rows), the full Sx, and
+    the assembly matrix that sums the per-block partials into the (gh, gw)
+    grid.  Returns None when the level is not full-width-blocked (the fused
+    densify needs one block column so Sx rides whole in VMEM) — callers
+    fall back to the store-then-densify path.
+
+    The masked scatter matrices and counts come from
+    :func:`ofps_tpu.core.motion.grid_scatter_plan_np`, so the fused result
+    is the same cell partition as :func:`grid_downsample_uv` by
+    construction (parity-gated in tests/test_grid_fused.py).
+    """
+    import numpy as np
+
+    from ofps_tpu.core.motion import grid_scatter_plan_np
+
+    bh, bw = pick_blocks(h, w, coarse_flow)
+    wp = w + ((-w) % bw)
+    if wp != bw:
+        return None
+    hp = h + ((-h) % bh)
+    gh_blocks = hp // bh
+    sy, sx, counts, idx_y, idx_x = grid_scatter_plan_np(
+        h, w, gh, gw, border_px
+    )
+    sy_pad = np.zeros((hp, gh), np.float32)
+    sy_pad[:h] = sy
+    sx_pad = np.zeros((wp, gw), np.float32)
+    sx_pad[:w] = sx
+    los = []
+    for i in range(gh_blocks):
+        sub = sy_pad[i * bh : (i + 1) * bh]
+        nz = np.nonzero(sub.sum(axis=0) > 0)[0]
+        los.append(int(nz.min()) if nz.size else 0)
+    k = max(
+        (int(np.nonzero(sy_pad[i * bh : (i + 1) * bh].sum(axis=0) > 0)[0].max())
+         + 1 - lo) if np.any(sy_pad[i * bh : (i + 1) * bh]) else 1
+        for i, lo in enumerate(los)
+    )
+    k = -(-max(k, 8) // 8) * 8  # sublane-aligned partial rows
+    syt = np.zeros((gh_blocks, k, bh), np.float32)
+    asm = np.zeros((gh, gh_blocks * k), np.float32)
+    for i, lo in enumerate(los):
+        lo = max(0, min(lo, gh - k)) if gh >= k else 0
+        kk = min(k, gh - lo)
+        syt[i, :kk] = sy_pad[i * bh : (i + 1) * bh, lo : lo + kk].T
+        asm[lo : lo + kk, i * k : i * k + kk] = np.eye(kk, dtype=np.float32)
+    return {
+        "syt": syt, "sx": sx_pad, "asm": asm, "counts": counts,
+        "idx_y": idx_y, "idx_x": idx_x, "gh": gh, "gw": gw,
+        "bh": bh, "bw": bw, "k": k,
+    }
+
+
 def flow_refine_uv(
     i1: jnp.ndarray,
     i2: jnp.ndarray,
@@ -557,6 +648,7 @@ def flow_refine_uv(
     i1_pad: jnp.ndarray | None = None,
     i2_pad: jnp.ndarray | None = None,
     stage: int = 99,
+    grid_plan=None,
 ):
     """Fused warp + refine of one pyramid level on split flow components.
 
@@ -682,6 +774,13 @@ def flow_refine_uv(
     t2w = bw + 2 * (_PAD + r + search) + _COL_PAD
     t2w += (-t2w) % 128
 
+    if grid_plan is not None:
+        assert stage == 99, "grid fusion and stage bisection are exclusive"
+        assert gw_blocks == 1 and grid_plan["bh"] == bh and grid_plan["bw"] == bw, (
+            "grid_plan built for different block geometry",
+            (grid_plan["bh"], grid_plan["bw"]), (bh, bw),
+        )
+
     kernel = functools.partial(
         _refine_kernel,
         bh=bh,
@@ -707,6 +806,7 @@ def flow_refine_uv(
         hcp=hcp,
         tch=tch,
         tcw=tcw,
+        grid_fused=grid_plan is not None,
     )
     if coarse_flow:
         uv_specs = [
@@ -724,6 +824,36 @@ def flow_refine_uv(
             pl.BlockSpec((1, bh, bw), lambda b, i, j, *_: (b, i, j)),
         ]
         extra_scratch = []
+    grid_inputs = ()
+    grid_in_specs = []
+    if grid_plan is None:
+        out_specs = [
+            pl.BlockSpec((1, bh, bw), lambda b, i, j, *_: (b, i, j)),
+            pl.BlockSpec((1, bh, bw), lambda b, i, j, *_: (b, i, j)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((nb, hp, wp), out_dtype),
+            jax.ShapeDtypeStruct((nb, hp, wp), out_dtype),
+        ]
+    else:
+        k = grid_plan["k"]
+        gh_g, gw_g = grid_plan["gh"], grid_plan["gw"]
+        grid_inputs = (
+            jnp.asarray(grid_plan["syt"], jnp.bfloat16),
+            jnp.asarray(grid_plan["sx"], jnp.bfloat16),
+        )
+        grid_in_specs = [
+            pl.BlockSpec((1, k, bh), lambda b, i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((bw, gw_g), lambda b, i, j, *_: (0, 0)),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, k, gw_g), lambda b, i, j, *_: (b, i, 0)),
+            pl.BlockSpec((1, k, gw_g), lambda b, i, j, *_: (b, i, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((nb, gh_blocks * k, gw_g), jnp.float32),
+            jax.ShapeDtypeStruct((nb, gh_blocks * k, gw_g), jnp.float32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb, gh_blocks, gw_blocks),
@@ -731,11 +861,9 @@ def flow_refine_uv(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
-        + uv_specs,
-        out_specs=[
-            pl.BlockSpec((1, bh, bw), lambda b, i, j, *_: (b, i, j)),
-            pl.BlockSpec((1, bh, bw), lambda b, i, j, *_: (b, i, j)),
-        ],
+        + uv_specs
+        + grid_in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, bh + 16, bw + 2 * _COL_PAD), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
@@ -747,10 +875,7 @@ def flow_refine_uv(
     fn = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, hp, wp), out_dtype),
-            jax.ShapeDtypeStruct((nb, hp, wp), out_dtype),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
             # The default 16 MB scoped-vmem budget is tight for the live set
@@ -759,7 +884,16 @@ def flow_refine_uv(
         ),
         interpret=interpret,
     )
-    ou, ov = fn(means_u, means_v, i1pad, i2pad, us, vs)
+    ou, ov = fn(means_u, means_v, i1pad, i2pad, us, vs, *grid_inputs)
+    if grid_plan is not None:
+        # Assemble the per-block partial rows into the (gh, gw) sums — a
+        # tiny static 0/1 matmul ("highest": f32 sums must not quantize to
+        # bf16 on the MXU, see CLAUDE.md numerics).
+        asm = jnp.asarray(grid_plan["asm"])
+        gu = jnp.einsum("gp,npk->ngk", asm, ou, precision="highest")
+        gv = jnp.einsum("gp,npk->ngk", asm, ov, precision="highest")
+        gshape = batch + (gh_g, gw_g)
+        return gu.reshape(gshape), gv.reshape(gshape)
     shape = batch + (h, w)
     return ou[:, :h, :w].reshape(shape), ov[:, :h, :w].reshape(shape)
 

@@ -149,6 +149,42 @@ class StreamPipeline:
         stream_ax = spec[0] if len(spec) > 0 else None
         return sh.mesh, stream_ax, spec[2]
 
+    def _grid_plan(self, h: int, w: int):
+        """Static in-kernel-densify plan for the serving path, or None.
+
+        Only the no-dense-emit, unsharded, fused-L0 configuration qualifies:
+        the plan makes the finest Pallas level emit the (gh, gw) scatter-mean
+        sums directly (skipping the ~16 MB/frame full-res store + re-read at
+        1080p); every other configuration keeps the store-then-densify path.
+        """
+        if self.emit_dense_flow or self._spatially_sharded():
+            return None
+        cached = getattr(self, "_grid_plans", None)
+        if cached is None:
+            cached = self._grid_plans = {}
+        if (h, w) not in cached:
+            p = self.flow_params
+            on_tpu = (
+                p.fused if p.fused is not None
+                else jax.default_backend() == "tpu"
+            )
+            plan = None
+            if (
+                on_tpu
+                and h * w >= p.fuse_min_pixels
+                and effective_levels(p, h, w) > 1
+            ):
+                from ofps_tpu.pallas.flow_refine import build_grid_plan
+
+                gw, gh = self.grid_wh or grid_size_for(w, h)
+                plan = build_grid_plan(
+                    h, w, gh, gw,
+                    border_px=border_margin_px(p, h, w),
+                    coarse_flow=True,
+                )
+            cached[(h, w)] = plan
+        return cached[(h, w)]
+
     # -- state ---------------------------------------------------------------
 
     def _make_cache(self, gray: jnp.ndarray):
@@ -220,8 +256,13 @@ class StreamPipeline:
 
     def _consume(
         self, state: StreamState, sparse: SparseFlow, key: jnp.ndarray,
-        props=None,
+        props=None, grid=None,
     ):
+        """Estimators + detector on a sparse flow batch.
+
+        ``grid``: the (B, gh, gw, 2) dense field ``sparse`` was built from,
+        when the caller has it — lets detectors with a ``detect_field`` fast
+        path skip the per-entry scatter (static-lattice densify)."""
         batch = sparse.mask.shape[0]
         rots, poss, dr, dt, est_states = [], [], [], [], []
         keys = jax.random.split(key, max(len(self.estimators), 1) * batch)
@@ -248,9 +289,14 @@ class StreamPipeline:
         detection = None
         if self.detector is not None:
             dprops = props["detector"] if props is not None else None
-            detection = jax.vmap(
-                lambda fl: self.detector.detect(fl, props=dprops)
-            )(sparse)
+            if grid is not None and self.detector.detect_field is not None:
+                detection = jax.vmap(
+                    lambda f: self.detector.detect_field(f, props=dprops)
+                )(grid)
+            else:
+                detection = jax.vmap(
+                    lambda fl: self.detector.detect(fl, props=dprops)
+                )(sparse)
         return tuple(rots), tuple(poss), tuple(dr), tuple(dt), tuple(
             est_states
         ), detection
@@ -291,19 +337,27 @@ class StreamPipeline:
             )
             new_cache = self._make_cache(gray)
         else:
+            grid_plan = self._grid_plan(h, w)
             (u, v), warm, new_cache = dense_flow_warm(
                 state.prev_cache.pyr[0], gray, self.flow_params,
                 warm=state.warm_uv, prev_cache=state.prev_cache,
-                want_cache=True,
+                want_cache=True, grid_plan=grid_plan,
             )
         new_cache = jax.tree_util.tree_map(
             lambda x: constrain(x, self.shard.image), new_cache
         )
+        gw, gh = self.grid_wh or grid_size_for(w, h)
         hp = state.has_prev[:, None, None]
         u = u * hp.astype(u.dtype)
         v = v * hp.astype(v.dtype)
-        u = constrain(u, self.shard.image)
-        v = constrain(v, self.shard.image)
+        fused_grid = (
+            not self.emit_dense_flow
+            and u.shape[-2:] == (gh, gw)
+            and u.shape[-2:] != (h, w)
+        )
+        if not fused_grid:
+            u = constrain(u, self.shard.image)
+            v = constrain(v, self.shard.image)
         # Warm carry stays f32 in the state (the fused TPU path emits bf16,
         # the XLA path f32 — scan carries need one stable dtype) and is
         # zeroed until a real previous frame exists.
@@ -314,18 +368,31 @@ class StreamPipeline:
             for x in warm
         )
 
-        gw, gh = self.grid_wh or grid_size_for(w, h)
-        # Exclude the invalid edge band at grid resolution (~free) instead
-        # of a full-res replicate pass on the hot path.
-        grid = grid_downsample_uv(
-            u, v, gw, gh, norm_wh=(w, h),
-            border_px=border_margin_px(self.flow_params, h, w),
-        )
+        if fused_grid:
+            # The kernel emitted the densify SUMS (in-kernel scatter-matmul,
+            # pallas/flow_refine.py emit()): finish the mean + normalized
+            # units + border-cell replicate at grid resolution — identical
+            # semantics to grid_downsample_uv (shared grid_scatter_plan_np).
+            plan = self._grid_plan(h, w)
+            counts = jnp.asarray(plan["counts"])
+            grid = jnp.stack(
+                [u / (counts * w), v / (counts * h)], axis=-1
+            )
+            if plan["idx_y"] is not None:
+                grid = jnp.take(grid, jnp.asarray(plan["idx_y"]), axis=-3)
+                grid = jnp.take(grid, jnp.asarray(plan["idx_x"]), axis=-2)
+        else:
+            # Exclude the invalid edge band at grid resolution (~free)
+            # instead of a full-res replicate pass on the hot path.
+            grid = grid_downsample_uv(
+                u, v, gw, gh, norm_wh=(w, h),
+                border_px=border_margin_px(self.flow_params, h, w),
+            )
         grid = constrain(grid, self.shard.batch)
         sparse = jax.vmap(field_to_sparse)(grid)
 
         rot, pos, dr, dt, est, detection = self._consume(
-            state, sparse, key, props=props
+            state, sparse, key, props=props, grid=grid
         )
         new_state = StreamState(
             prev_cache=new_cache,

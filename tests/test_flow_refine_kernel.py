@@ -245,13 +245,14 @@ def test_dense_flow_fused_matches_xla_end_to_end(monkeypatch):
     import ofps_tpu.pallas.flow_refine_small as frs
     from ofps_tpu.ops.flow_pyramid import FlowParams, dense_flow
 
+    # FORCE interpret (a plain functools.partial default is overridden by
+    # the pipeline's explicit interpret=params.interpret kwarg).
+    def forced(fn):
+        return lambda *a, **k: fn(*a, **{**k, "interpret": True})
+
+    monkeypatch.setattr(fr, "flow_refine_uv", forced(fr.flow_refine_uv))
     monkeypatch.setattr(
-        fr, "flow_refine_uv", functools.partial(fr.flow_refine_uv, interpret=True)
-    )
-    monkeypatch.setattr(
-        frs,
-        "flow_refine_small_uv",
-        functools.partial(frs.flow_refine_small_uv, interpret=True),
+        frs, "flow_refine_small_uv", forced(frs.flow_refine_small_uv)
     )
 
     rng = np.random.default_rng(3)
