@@ -78,6 +78,31 @@ def test_kernel_grid_plan_matches_full_res_densify(scene, border_px):
         assert np.all(np.asarray(gu)[empty] == 0.0)
 
 
+def test_kernel_grid_plan_batched(scene):
+    """Batched (B=2) grid emission: the serving pipeline always runs with a
+    leading stream axis, so pin that each batch element's grid partials are
+    assembled independently (out_specs index (b, i, 0))."""
+    i1, i2, flow = scene
+    h, w = i1.shape
+    gh, gw = 28, 50
+    plan = build_grid_plan(h, w, gh, gw, coarse_flow=False)
+
+    u0, v0 = flow[..., 0], flow[..., 1]
+    i1b = jnp.stack([i1, i2])  # two DIFFERENT pairs: (i1->i2), (i2->i1)
+    i2b = jnp.stack([i2, i1])
+    ub = jnp.stack([u0, -u0])
+    vb = jnp.stack([v0, -v0])
+    gub, gvb = flow_refine_uv(i1b, i2b, ub, vb, 1, 5, interpret=True,
+                              axis_sep=True, grid_plan=plan)
+    assert gub.shape == (2, gh, gw)
+    for b in range(2):
+        gu1, gv1 = flow_refine_uv(i1b[b], i2b[b], ub[b], vb[b], 1, 5,
+                                  interpret=True, axis_sep=True,
+                                  grid_plan=plan)
+        np.testing.assert_array_equal(np.asarray(gub[b]), np.asarray(gu1))
+        np.testing.assert_array_equal(np.asarray(gvb[b]), np.asarray(gv1))
+
+
 def test_pipeline_grid_fused_matches_xla_densify():
     from ofps_tpu.core.camera import StandardCamera
     from ofps_tpu.parallel.stream import StreamPipeline
