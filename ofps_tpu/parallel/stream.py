@@ -159,6 +159,13 @@ class StreamPipeline:
         """
         if self.emit_dense_flow or self._spatially_sharded():
             return None
+        import os
+
+        if os.environ.get("OFPS_TPU_NO_GRID_FUSE"):
+            # Kill switch: fall back to store-then-densify (debugging aid —
+            # the fused emission is gated in tests/test_grid_fused.py, but
+            # an on-chip Mosaic regression must not take serving down).
+            return None
         cached = getattr(self, "_grid_plans", None)
         if cached is None:
             cached = self._grid_plans = {}
