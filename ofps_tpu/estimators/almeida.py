@@ -175,6 +175,7 @@ def solve_ypr_ransac(
     num_iters: int,
     inlier_angle_deg: float,
     num_samples: int,
+    dense: bool = False,
 ) -> jnp.ndarray:
     """Batched RANSAC (lib.rs:202-251): all hypotheses evaluated in parallel.
 
@@ -192,7 +193,11 @@ def solve_ypr_ransac(
     k_fit, _ = jax.random.split(key)
 
     # Minimal 3-point fits as (3, H) planes: H rides the lane axis.
-    fit_idx = sample_indices(k_fit, mask, num_iters, 3)  # (H, 3)
+    # dense=True (serving's all-valid grid fields): the draws and the eval
+    # subset below become compile-time constants with bit-identical
+    # selections (ops.robust.dense_eval_indices) — the cumsum+searchsorted
+    # binary searches otherwise serialize on the TPU scalar core.
+    fit_idx = sample_indices(k_fit, mask, num_iters, 3, dense=dense)  # (H, 3)
     fpx = pos[fit_idx, 0].T  # (3, H)
     fpy = pos[fit_idx, 1].T
     fmu = motion[fit_idx, 0].T
@@ -205,20 +210,25 @@ def solve_ypr_ransac(
     # evaluation tensors shrink from (H, N, 2) to (H, S, 2) — at the 1080p
     # grid (N=12600, S=1000) that is ~12x less HBM traffic for identical
     # scoring (the same subset, so the same counts and winner).
-    ev_w = uniform_cap_weights(mask, num_samples)
     n_eval = min(num_samples, n)
-    # Compact the subset to the front via searchsorted on its cumulative
-    # count (same trick as robust_fit's eval_cap): identical subset to the
-    # rank-sort top_k this replaces, at log(N) gathers instead of a
-    # full (N,) sort.  Past-the-end queries clamp; their weight is zeroed.
-    cw = jnp.cumsum((ev_w > 0.5).astype(jnp.int32))
-    eidx = jnp.minimum(
-        jnp.searchsorted(
-            cw, jnp.arange(1, n_eval + 1, dtype=jnp.int32), side="left"
-        ),
-        n - 1,
-    ).astype(jnp.int32)
-    w_e = jnp.where(jnp.arange(n_eval) < cw[-1], ev_w[eidx], 0.0)
+    if dense and n_eval < n:
+        from ofps_tpu.ops.robust import dense_eval_indices
+
+        eidx, w_e = dense_eval_indices(n, n_eval)
+    else:
+        ev_w = uniform_cap_weights(mask, num_samples)
+        # Compact the subset to the front via searchsorted on its cumulative
+        # count (same trick as robust_fit's eval_cap): identical subset to
+        # the rank-sort top_k this replaces, at log(N) gathers instead of a
+        # full (N,) sort.  Past-the-end queries clamp; weight zeroed.
+        cw = jnp.cumsum((ev_w > 0.5).astype(jnp.int32))
+        eidx = jnp.minimum(
+            jnp.searchsorted(
+                cw, jnp.arange(1, n_eval + 1, dtype=jnp.int32), side="left"
+            ),
+            n - 1,
+        ).astype(jnp.int32)
+        w_e = jnp.where(jnp.arange(n_eval) < cw[-1], ev_w[eidx], 0.0)
     pxe, pye = pos[eidx, 0], pos[eidx, 1]  # (S,)
     mue, mve = motion[eidx, 0], motion[eidx, 1]
 
@@ -254,7 +264,7 @@ def make_almeida(**kwargs) -> EstimatorInstance:
     def estimate(
         state, flow: SparseFlow, camera: StandardCamera, key=None,
         move_magnitude=None,  # accepted, unused: almeida lib.rs:105
-        props=None,
+        props=None, dense=False,
     ):
         inlier_deg = (props or {}).get(
             "inlier_angle_deg", params.inlier_angle_deg
@@ -269,6 +279,7 @@ def make_almeida(**kwargs) -> EstimatorInstance:
                 params.num_iters,
                 inlier_deg,
                 params.ransac_samples,
+                dense=dense,
             )
         else:
             rot = solve_ypr_weighted(camera, flow.pos, flow.motion, flow.mask)

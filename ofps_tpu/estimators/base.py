@@ -54,7 +54,7 @@ class EstimatorInstance:
         from ofps_tpu.core.plugins import adapt_optional_kwargs
 
         self.estimate = adapt_optional_kwargs(
-            self.estimate, ("move_magnitude", "props")
+            self.estimate, ("move_magnitude", "props", "dense")
         )
 
     def motion_step(

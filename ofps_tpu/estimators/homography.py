@@ -56,7 +56,7 @@ class HomographyParams(NamedTuple):
 
 def estimate_homography_rotation(
     key, params: HomographyParams, flow: SparseFlow, camera: StandardCamera,
-    max_error=None,
+    max_error=None, dense=False,
 ):
     p1, w = flow.pos, flow.mask
     p2 = flow.pos + flow.motion
@@ -88,6 +88,7 @@ def estimate_homography_rotation(
         refit_fn=dlt_homography,
         prescore_cap=params.prescore_cap,
         finalists=params.finalists,
+        dense=dense,
     )
     # Weighted refit on the winning inlier set + Gauss-Newton polish on the
     # transfer error (OpenCV refines with LM here).
@@ -128,13 +129,14 @@ def make_homography(**kwargs) -> EstimatorInstance:
     def estimate(
         state, flow: SparseFlow, camera: StandardCamera, key=None,
         move_magnitude=None,  # accepted, unused: homography lib.rs:126
-        props=None,
+        props=None, dense=False,
     ):
         if key is None:
             key = jax.random.PRNGKey(0)
         rot = estimate_homography_rotation(
             key, params, flow, camera,
             max_error=(props or {}).get("max_error"),
+            dense=dense,
         )
         # Degenerate input guard: fewer valid points than a minimal sample.
         ok = jnp.sum(flow.mask) >= 4

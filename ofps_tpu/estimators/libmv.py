@@ -209,7 +209,9 @@ def _remap_vec(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([v[..., 0], v[..., 2], -v[..., 1]], axis=-1)
 
 
-def _robust_fundamental(key, params: LibmvParams, x1, x2, w, max_error=None):
+def _robust_fundamental(
+    key, params: LibmvParams, x1, x2, w, max_error=None, dense=False
+):
     if max_error is None:
         max_error = params.max_error
     if params.algo_points == 7:
@@ -249,14 +251,19 @@ def _robust_fundamental(key, params: LibmvParams, x1, x2, w, max_error=None):
         refit_fn=eight_point_fundamental,
         refit_weight=params.refit_weight,
         lo_iters=params.lo_iters,
+        dense=dense,
     )
 
 
-def _pose_from_field(key, params, camera, pos, motion, w, max_error=None):
+def _pose_from_field(
+    key, params, camera, pos, motion, w, max_error=None, dense=False
+):
     """Fundamental -> essential -> (R, t, ok) on a (possibly chained) field."""
     x1 = pos
     x2 = pos + motion
-    res = _robust_fundamental(key, params, x1, x2, w, max_error=max_error)
+    res = _robust_fundamental(
+        key, params, x1, x2, w, max_error=max_error, dense=dense
+    )
     k = camera.intrinsics()
     e = essential_from_fundamental(res.model, k)
     first = jnp.argmax(res.inliers)
@@ -281,7 +288,7 @@ def _pose_from_field(key, params, camera, pos, motion, w, max_error=None):
 
 def estimate_libmv(
     key, params: LibmvParams, state: PrevMotion, flow: SparseFlow, camera,
-    move_magnitude=None, max_error=None,
+    move_magnitude=None, max_error=None, dense=False,
 ):
     """``move_magnitude`` is the estimator.rs:18-23 translation-magnitude
     hint: when supplied (may be a traced scalar), the emitted translation —
@@ -291,8 +298,11 @@ def estimate_libmv(
     k1, k2 = jax.random.split(key)
     pos, motion, w = flow.pos, flow.motion, flow.mask
 
+    # ``dense`` applies only to this primary solve (serving's all-valid grid
+    # field); the chained view-1 -> view-3 field below has a real
+    # found-dependent mask, so its solve keeps the runtime subset machinery.
     r_mat, t_raw, res, _ok = _pose_from_field(
-        k1, params, camera, pos, motion, w, max_error=max_error
+        k1, params, camera, pos, motion, w, max_error=max_error, dense=dense
     )
     q = remap_solver_rotation(quat.from_matrix3(r_mat))
 
@@ -364,13 +374,13 @@ def make_libmv(**kwargs) -> EstimatorInstance:
 
     def estimate(
         state: PrevMotion, flow: SparseFlow, camera: StandardCamera, key=None,
-        move_magnitude=None, props=None,
+        move_magnitude=None, props=None, dense=False,
     ):
         if key is None:
             key = jax.random.PRNGKey(0)
         rot, tr, new_state = estimate_libmv(
             key, params, state, flow, camera, move_magnitude=move_magnitude,
-            max_error=(props or {}).get("max_error"),
+            max_error=(props or {}).get("max_error"), dense=dense,
         )
         # Degenerate input guard (reference returns Err; we hold the pose).
         ok = (jnp.sum(flow.mask) >= params.algo_points) & jnp.all(

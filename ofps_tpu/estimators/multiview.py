@@ -89,7 +89,7 @@ def _normalized_coords(camera: StandardCamera, p: jnp.ndarray) -> jnp.ndarray:
 
 def estimate_essential_rotation(
     key, params: MultiviewParams, flow: SparseFlow, camera: StandardCamera,
-    max_error=None,
+    max_error=None, dense=False,
 ):
     w = flow.mask
     x1 = _normalized_coords(camera, flow.pos)
@@ -133,6 +133,7 @@ def estimate_essential_rotation(
         adaptive_threshold=params.adaptive_threshold,
         prescore_cap=params.prescore_cap,
         finalists=params.finalists,
+        dense=dense,
         refit_fn=lambda a, b, ww: project_to_essential(
             eight_point_fundamental(a, b, ww)
         ),
@@ -205,13 +206,14 @@ def make_multiview(**kwargs) -> EstimatorInstance:
     def estimate(
         state, flow: SparseFlow, camera: StandardCamera, key=None,
         move_magnitude=None,  # accepted, unused: multiview lib.rs:118
-        props=None,
+        props=None, dense=False,
     ):
         if key is None:
             key = jax.random.PRNGKey(0)
         rot = estimate_essential_rotation(
             key, params, flow, camera,
             max_error=(props or {}).get("max_error"),
+            dense=dense,
         )
         ok = jnp.sum(flow.mask) >= 8
         rot = jnp.where(ok & jnp.all(jnp.isfinite(rot)), rot, quat.identity())

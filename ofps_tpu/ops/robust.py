@@ -61,13 +61,46 @@ def uniform_cap_weights(mask: jnp.ndarray, num_samples: int) -> jnp.ndarray:
     return mask * crosses
 
 
+def dense_eval_indices(n: int, cap: int):
+    """Static (eidx, we) for the eval-cap subset of an ALL-VALID point set.
+
+    Serving feeds the estimators a densified grid whose mask is a constant
+    all-ones array (``field_to_sparse``), yet the runtime subset machinery
+    (cumsum + ``searchsorted``) still executes: ``searchsorted``'s binary
+    search is ~log2(N) rounds of dynamic gathers that lower to the TPU
+    scalar core (~1.8 us per query measured — 2048 eval queries cost more
+    than the whole hypothesis sweep they feed).  With the mask statically
+    known, the selection is a compile-time constant: this replays
+    ``uniform_cap_weights`` + the cumulative-count compaction of
+    :func:`robust_fit` in numpy **bit-identically** (same f32 stride
+    arithmetic), so ``dense=True`` changes zero sampled subsets, only where
+    they are computed.
+    """
+    import numpy as np
+
+    c = np.arange(1, n + 1, dtype=np.float32)
+    stride = np.maximum(np.float32(c[-1] / np.float32(cap)), np.float32(1.0))
+    crosses = np.floor(c / stride) > np.floor((c - np.float32(1.0)) / stride)
+    cw = np.cumsum(crosses.astype(np.int32))
+    eidx = np.minimum(
+        np.searchsorted(cw, np.arange(1, cap + 1, dtype=np.int32), side="left"),
+        n - 1,
+    ).astype(np.int32)
+    we = np.where(
+        np.arange(cap) < cw[-1], crosses[eidx].astype(np.float32), 0.0
+    ).astype(np.float32)
+    return jnp.asarray(eidx), jnp.asarray(we)
+
+
 class RobustResult(NamedTuple):
     model: jnp.ndarray  # (3, 3)
     inliers: jnp.ndarray  # (N,) float 0/1 (subset of the input weights)
     score: jnp.ndarray  # inlier count (RANSAC) or -median error (LMedS)
 
 
-def sample_indices(key, w: jnp.ndarray, rows: int, k: int) -> jnp.ndarray:
+def sample_indices(
+    key, w: jnp.ndarray, rows: int, k: int, dense: bool = False
+) -> jnp.ndarray:
     """(rows, k) random valid indices: one stable partition of the valid set
     + uniform integer draws.
 
@@ -85,7 +118,17 @@ def sample_indices(key, w: jnp.ndarray, rows: int, k: int) -> jnp.ndarray:
     TPU: per-row top-k over (rows, N) is the sort this replaced, and
     strided/cyclic picks correlate sample points spatially (near-collinear
     minimal sets).
+
+    ``dense=True`` asserts every point is valid (serving's densified-grid
+    fields, whose mask is a constant all-ones): the r-th valid point IS
+    index r, so the cumsum + binary-search (scalar-core gathers) drop out.
+    Bit-identical draws: with m == n, ``searchsorted(cumsum(ones), r+1)``
+    returns exactly r.
     """
+    if dense:
+        n = w.shape[-1]
+        u = jax.random.uniform(key, (rows, k))
+        return jnp.minimum((u * n).astype(jnp.int32), n - 1)
     m = jnp.maximum(jnp.sum(w > 0.5).astype(jnp.int32), 1)
     # Index of the r-th valid point == searchsorted(cumsum(valid), r+1):
     # identical to argsort(w < 0.5, stable)[r] (valid entries keep raster
@@ -149,6 +192,7 @@ def robust_fit(
     refit_weight: str = "binary",
     prescore_cap: int = 0,
     finalists: int = 32,
+    dense: bool = False,
 ) -> RobustResult:
     """``eval_cap > 0`` scores hypotheses on a spatially uniform subset of
     at most that many valid points (gathered once — H x cap work instead of
@@ -186,9 +230,17 @@ def robust_fit(
     (LO-RANSAC): ``lo_iters`` rounds of refit-on-inliers -> re-cut, keeping
     each refit only if it does not shrink the inlier set.  The final refit
     model (not just the minimal-sample model) is returned.
+
+    ``dense=True`` asserts ``w`` is statically all-valid (serving's
+    densified-grid fields): the minimal-sample draws and the eval-cap
+    subset become compile-time constants (:func:`dense_eval_indices`) with
+    bit-identical selections, dropping the cumsum + searchsorted binary
+    searches whose dynamic gathers serialize on the TPU scalar core.
     """
     n = x1.shape[0]
-    idx = sample_indices(key, w, num_hypotheses, sample_size)  # (H, k)
+    idx = sample_indices(
+        key, w, num_hypotheses, sample_size, dense=dense
+    )  # (H, k)
 
     def fit_one(i):
         return minimal_fit(x1[i], x2[i], w[i])
@@ -198,7 +250,10 @@ def robust_fit(
     models = models.reshape(hm, 3, 3)
     valid = valid.reshape(hm)
 
-    if eval_cap and eval_cap < n:
+    if eval_cap and eval_cap < n and dense:
+        eidx, we = dense_eval_indices(n, eval_cap)
+        x1e, x2e = x1[eidx], x2[eidx]
+    elif eval_cap and eval_cap < n:
         wc = uniform_cap_weights(w, eval_cap)
         # Compact the selected entries (raster order) to the front via
         # searchsorted on their cumulative count — the same (eval_cap,)

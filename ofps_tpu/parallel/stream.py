@@ -269,7 +269,11 @@ class StreamPipeline:
 
         ``grid``: the (B, gh, gw, 2) dense field ``sparse`` was built from,
         when the caller has it — lets detectors with a ``detect_field`` fast
-        path skip the per-entry scatter (static-lattice densify)."""
+        path skip the per-entry scatter (static-lattice densify), and tells
+        the estimators the mask is statically all-valid (``dense=True``), so
+        their RANSAC sample draws and eval subsets resolve at compile time
+        (bit-identical selections; see ops.robust.dense_eval_indices)."""
+        dense = grid is not None
         batch = sparse.mask.shape[0]
         rots, poss, dr, dt, est_states = [], [], [], [], []
         keys = jax.random.split(key, max(len(self.estimators), 1) * batch)
@@ -278,7 +282,9 @@ class StreamPipeline:
             eprops = props["estimators"][i] if props is not None else None
 
             def one(st, fl, k, r0, p0, _est=est, _props=eprops):
-                r, t, st2 = _est.estimate(st, fl, self.camera, k, props=_props)
+                r, t, st2 = _est.estimate(
+                    st, fl, self.camera, k, props=_props, dense=dense
+                )
                 # motion_step integration (estimator.rs:38-53).
                 p1 = p0 + quat.rotate_vec(r0, t)
                 r1 = quat.mul(r, r0)

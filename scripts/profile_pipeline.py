@@ -124,9 +124,11 @@ def main():
         k, sub = jax.random.split(k)
         keys = jax.random.split(sub, b)
         def one(fl, kk):
+            # dense=True: the serving grid field's mask is statically
+            # all-valid (what StreamPipeline._consume passes).
             return solve_ypr_ransac(
                 kk, camera, fl, alm.num_iters, alm.inlier_angle_deg,
-                alm.ransac_samples,
+                alm.ransac_samples, dense=True,
             )
         q = jax.vmap(one)(sp, keys)
         s = jnp.sum(q)
@@ -182,7 +184,7 @@ def main():
         k, sub = jax.random.split(k)
         keys = jax.random.split(sub, b)
         q, t, _ = jax.vmap(
-            lambda fl, kk: hom.estimate((), fl, camera, kk)
+            lambda fl, kk: hom.estimate((), fl, camera, kk, dense=True)
         )(sp, keys)
         s = jnp.sum(q)
         return (sp._replace(motion=sp.motion + s * 1e-12), k), s
