@@ -145,7 +145,9 @@ def main():
         sp, k = c
         k, sub = jax.random.split(k)
         def one(fl, kk):
-            return jnp.sum(_sample_indices(kk, fl.mask, alm.num_iters, 3))
+            return jnp.sum(
+                _sample_indices(kk, fl.mask, alm.num_iters, 3, dense=True)
+            )
         s = jnp.sum(jax.vmap(one)(sp, jax.random.split(sub, b)))
         return (sp._replace(motion=sp.motion + s * 1e-12), k), s
 
@@ -155,7 +157,7 @@ def main():
         sp, k = c
         k, sub = jax.random.split(k)
         def one(fl, kk):
-            idx = _sample_indices(kk, fl.mask, alm.num_iters, 3)
+            idx = _sample_indices(kk, fl.mask, alm.num_iters, 3, dense=True)
             fits = jax.vmap(
                 lambda p_, m_, w_: _ypr(camera, p_, m_, w_)
             )(fl.pos[idx], fl.motion[idx], fl.mask[idx])
@@ -226,6 +228,7 @@ def main():
                     lo_iters=2 if lo else 0,
                     prescore_cap=hp_.prescore_cap,
                     finalists=hp_.finalists,
+                    dense=True,
                 )
                 return jnp.sum(res.model) + jnp.sum(res.inliers)
 
