@@ -74,6 +74,16 @@ class LibmvParams(NamedTuple):
     # reduction, so the degenerate no-op rule is preserved.
     gn_polish: bool = True
     gn_iters: int = 3
+    # Rotation-only (Kabsch) fallback on the PRIMARY solve
+    # (ops.epipolar.rotation_only_fallback, shared with multiview): pure
+    # rotation is degenerate for F — the robustly-fitted pose can land
+    # anywhere in a 3-dim solution family, and on the av matrix's pure-
+    # rotation clips libmv-7pt intermittently emitted ~identity (per-frame
+    # error == the GT angle, clips 2/6 at 0.13-0.15 deg/frame avg).  The
+    # decisively-better gate keeps real-translation data on the epipolar
+    # pose (translation output unchanged: t comes from the epipolar solve
+    # either way, as in the reference).
+    rotation_fallback: bool = True
 
 
 class PrevMotion(NamedTuple):
@@ -256,9 +266,16 @@ def _robust_fundamental(
 
 
 def _pose_from_field(
-    key, params, camera, pos, motion, w, max_error=None, dense=False
+    key, params, camera, pos, motion, w, max_error=None, dense=False,
+    rot_fallback=False,
 ):
-    """Fundamental -> essential -> (R, t, ok) on a (possibly chained) field."""
+    """Fundamental -> essential -> (R, t, ok) on a (possibly chained) field.
+
+    ``rot_fallback`` enables the Kabsch rotation-only recovery for
+    epipolar-degenerate (pure-rotation) data — the PRIMARY solve only: the
+    chained solve exists to supply a translation direction, which the
+    rotation-only model has nothing to say about.
+    """
     x1 = pos
     x2 = pos + motion
     res = _robust_fundamental(
@@ -268,8 +285,8 @@ def _pose_from_field(
     e = essential_from_fundamental(res.model, k)
     first = jnp.argmax(res.inliers)
     r, t, sup = motion_from_essential_and_correspondence(e, k, x1[first], x2[first])
-    if params.gn_polish:
-        from ofps_tpu.ops.epipolar import homogeneous, refine_pose_sampson
+    if params.gn_polish or rot_fallback:
+        from ofps_tpu.ops.epipolar import homogeneous
         from ofps_tpu.ops.solve import inv3x3
 
         kinv = inv3x3(k)
@@ -279,9 +296,16 @@ def _pose_from_field(
                         precision="highest")
         x1n = h1[:, :2] / h1[:, 2:]
         x2n = h2[:, :2] / h2[:, 2:]
+    if params.gn_polish:
+        from ofps_tpu.ops.epipolar import refine_pose_sampson
+
         r, t = refine_pose_sampson(
             r, t, x1n, x2n, res.inliers * w, iters=params.gn_iters
         )
+    if rot_fallback:
+        from ofps_tpu.ops.epipolar import rotation_only_fallback
+
+        r, _ = rotation_only_fallback(r, x1n, x2n, res.inliers * w)
     ok = (jnp.sum(res.inliers) >= 3.0) & (sup > 0)
     return r, t, res, ok
 
@@ -302,7 +326,8 @@ def estimate_libmv(
     # field); the chained view-1 -> view-3 field below has a real
     # found-dependent mask, so its solve keeps the runtime subset machinery.
     r_mat, t_raw, res, _ok = _pose_from_field(
-        k1, params, camera, pos, motion, w, max_error=max_error, dense=dense
+        k1, params, camera, pos, motion, w, max_error=max_error, dense=dense,
+        rot_fallback=params.rotation_fallback,
     )
     q = remap_solver_rotation(quat.from_matrix3(r_mat))
 

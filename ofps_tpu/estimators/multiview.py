@@ -149,41 +149,11 @@ def estimate_essential_rotation(
         )
 
     if params.rotation_fallback:
-        # Pure/near-pure rotation is DEGENERATE for essential estimation
-        # (H^T E antisymmetric has a 3-dim solution family), which is why
-        # the reference's multiview is its least accurate estimator on the
-        # rotation clips.  Recover: fit the rotation-only model (weighted
-        # Kabsch on bearing vectors via Newton polar iteration) and take it
-        # IFF it explains the correspondences decisively better than the
-        # epipolar rotation — real translation leaves parallax the
-        # rotation-only model cannot absorb, so the gate stays epipolar.
-        d1 = homogeneous(x1)
-        d1 = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True)
-        d2 = homogeneous(x2)
-        d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
-        wi = res.inliers
-        c = jnp.einsum("ni,nj,n->ij", d2, d1, wi, precision="highest")
-        rk = c
-        for _ in range(6):
-            det = jnp.linalg.det(rk)
-            det = jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
-            cof = jnp.stack(
-                [
-                    jnp.cross(rk[1], rk[2]),
-                    jnp.cross(rk[2], rk[0]),
-                    jnp.cross(rk[0], rk[1]),
-                ]
-            )
-            rk = 0.5 * (rk + cof / det)
+        # Pure/near-pure rotation is DEGENERATE for essential estimation;
+        # see ops.epipolar.rotation_only_fallback (shared with libmv).
+        from ofps_tpu.ops.epipolar import rotation_only_fallback
 
-        def resid(rm):
-            pred = jnp.einsum("ij,nj->ni", rm, d1, precision="highest")
-            return jnp.sum(
-                jnp.sum(jnp.cross(d2, pred) ** 2, axis=-1) * wi
-            )
-
-        use_k = (resid(rk) <= 0.5 * resid(r)) & (jnp.linalg.det(rk) > 0.0)
-        r = jnp.where(use_k, rk, r)
+        r, _ = rotation_only_fallback(r, x1, x2, res.inliers)
 
     # Axis remap to the codebase convention (lib.rs:130-134 intent).  Our
     # recovered R uses the x2 ~ f(x1) convention shared with the homography

@@ -413,6 +413,58 @@ def refine_pose_sampson(
     return r, t * jnp.linalg.norm(t0)
 
 
+def rotation_only_fallback(
+    r: jnp.ndarray,
+    x1n: jnp.ndarray,
+    x2n: jnp.ndarray,
+    w: jnp.ndarray,
+    ratio: float = 0.5,
+    iters: int = 6,
+):
+    """Rotation-only (weighted Kabsch) fallback for epipolar-degenerate data.
+
+    Pure/near-pure rotation is DEGENERATE for fundamental/essential
+    estimation (H^T E antisymmetric has a 3-dim solution family): the
+    robustly-fitted epipolar pose can land anywhere in that family, which
+    is why the reference's epipolar estimators are its least accurate on
+    the rotation clips (docs/statistics/err_av.csv).  Recovery: fit the
+    rotation-only model — weighted Kabsch on the bearing vectors, with the
+    orthogonal projection done by Newton polar iteration (the analytic
+    eigh/svd3x3 are unreliable on the near-repeated spectra this produces)
+    — and take it IFF it explains the correspondences decisively better
+    (``ratio``) than the epipolar rotation: real translation leaves
+    parallax the rotation-only model cannot absorb, so the gate stays
+    epipolar there.
+
+    ``x1n, x2n``: (N, 2) NORMALIZED (K^-1) coordinates; ``w``: (N,) inlier
+    weights; ``r``: the epipolar rotation candidate.  Returns ``(r', used)``.
+    """
+    d1 = homogeneous(x1n)
+    d1 = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 = homogeneous(x2n)
+    d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+    c = jnp.einsum("ni,nj,n->ij", d2, d1, w, precision="highest")
+    rk = c
+    for _ in range(iters):
+        det = jnp.linalg.det(rk)
+        det = jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+        cof = jnp.stack(
+            [
+                jnp.cross(rk[1], rk[2]),
+                jnp.cross(rk[2], rk[0]),
+                jnp.cross(rk[0], rk[1]),
+            ]
+        )
+        rk = 0.5 * (rk + cof / det)
+
+    def resid(rm):
+        pred = jnp.einsum("ij,nj->ni", rm, d1, precision="highest")
+        return jnp.sum(jnp.sum(jnp.cross(d2, pred) ** 2, axis=-1) * w)
+
+    use_k = (resid(rk) <= ratio * resid(r)) & (jnp.linalg.det(rk) > 0.0)
+    return jnp.where(use_k, rk, r), use_k
+
+
 def motion_from_essential_and_correspondence(
     e: jnp.ndarray, k: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray
 ):
